@@ -1,0 +1,69 @@
+"""Pipeline execution context: SparkSession + config + finalizer hooks."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+
+class Context:
+    def __init__(self, spark: SparkSession, **conf: Any):
+        self.spark = spark
+        self.conf = conf
+        self._finalizers: list[Callable] = []
+
+    def add_finalizer(self, fn: Callable) -> None:
+        self._finalizers.append(fn)
+
+    def run_finalizers(self, pkg) -> None:
+        for fn in self._finalizers:
+            try:
+                import inspect
+
+                if len(inspect.signature(fn).parameters) >= 1:
+                    fn(pkg.stats)
+                else:
+                    fn()
+            except (TypeError, ValueError):
+                fn()
+
+
+def build_session(
+    app_name: str = "dataflows_spark",
+    master: str | None = None,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Opinionated SparkSession: AQE on, Arrow on, UTC, sane shuffle
+    parallelism. In local mode sizes shuffle partitions to ~2× cores so
+    task count ≫ cores (scaling-efficiency requirement)."""
+    import os
+
+    if master is None:
+        cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = f"local[{cores}]"
+    elif cores is None:
+        cores = 32
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,368 @@
+"""join / join_with_self — keyed join with aggregation.
+
+Parity target: reference ``dataflows/processors/join.py`` (392 LoC).
+The reference indexes the *source* resource into a KV store keyed by
+``source_key``, folding duplicate keys with per-field aggregators
+(``join.py:197-220``), then streams the *target* attaching the
+aggregated fields (``:223-255``). Modes: ``inner`` / ``half-outer``
+(left) / ``full-outer`` (``:188-194``). ``target_key=None`` is the
+GROUP-BY/dedup mode exported as ``join_with_self`` (``:384-385``).
+
+Spark-first re-expression: ``source.groupBy(key).agg(...)`` then
+``target.join(agg, key, how)`` — Catalyst/AQE picks broadcast vs
+shuffled-hash vs sort-merge and handles skew; the KV store, its disk
+spill, and the single-threaded index loop disappear entirely.
+
+Aggregator parity notes (reference ``AGGREGATORS``, ``join.py:59-123``;
+None-skipping enforced by the indexer at ``:209-214``):
+
+- every aggregator skips None inputs; ``count`` counts key rows.
+- ``first``/``last`` are first/last *non-null in stream order*; Spark's
+  are non-deterministic without ordering, so we carry an explicit
+  ``__ord__`` column (caller-provided ``ordering=`` columns, else
+  ``monotonically_increasing_id()`` = scan order) and use
+  ``min_by``/``max_by`` (SURVEY.md §7.4 item 2).
+- ``set`` is an unordered Python set in the reference; we emit it
+  **sorted** for determinism (documented deviation).
+- ``counters`` finalizes as (value, count) sorted by count desc
+  (``join.py:117-122``); we add value-asc as a deterministic tiebreak.
+- ``median`` is exact (sorted middle / mean-of-middles,
+  ``join.py:33-42``) → ``F.median`` (exact, not percentile_approx).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.context import Context
+from ..core.flow import Stage
+from ..core.package import TablePackage
+
+_ORD = "__df_ord__"
+_JKEY = "__df_jkey__"
+_MATCH = "__df_matched__"
+
+AGG_NAMES = (
+    "sum avg median max min first last count any set array counters".split()
+)
+
+
+def _is_format_key(key: Any) -> bool:
+    return isinstance(key, str)
+
+
+def _key_fields(key: Any) -> list[str]:
+    if isinstance(key, list):
+        return key
+    return [m.split(":")[0].split("!")[0] for m in re.findall(r"\{(.*?)\}", key)]
+
+
+def _format_key_col(key_spec: str) -> Column:
+    """Compile the reference's format-string key (``KeyCalc``,
+    ``join.py:13-25``) to a concat expression. ``{#}`` (row number) is
+    served by the ``__df_ord__`` column; ``{f:0N}`` zero-padding maps
+    to ``lpad``."""
+    parts: list[Column] = []
+    last = 0
+    for m in re.finditer(r"\{(.*?)\}", key_spec):
+        if m.start() > last:
+            parts.append(F.lit(key_spec[last : m.start()]))
+        name = m.group(1)
+        spec = ""
+        if ":" in name:
+            name, spec = name.split(":", 1)
+        name = name.split("!")[0]
+        col = F.col(_ORD) if name == "#" else F.col(name)
+        col = col.cast("string")
+        pad = re.fullmatch(r"0(\d+)d?", spec)
+        if pad:
+            col = F.lpad(col, int(pad.group(1)), "0")
+        parts.append(col)
+        last = m.end()
+    if last < len(key_spec):
+        parts.append(F.lit(key_spec[last:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def _with_ord(df: DataFrame, ordering: list[str] | None, rownum: bool = False) -> DataFrame:
+    """Attach the stream-order column. ``rownum=True`` (a ``{#}`` key)
+    needs the reference's 1-based row number (``join.py:197,237``) —
+    a global window, batch-only, single-partition by construction
+    (matches the reference's single-threaded semantics; never used on
+    the scale path)."""
+    if rownum:
+        from pyspark.sql import Window
+
+        order = [F.col(c) for c in ordering] if ordering else [F.monotonically_increasing_id()]
+        return df.withColumn(_ORD, F.row_number().over(Window.orderBy(*order)))
+    ord_col = (
+        F.monotonically_increasing_id()
+        if not ordering
+        else F.struct(*[F.col(c) for c in ordering])
+    )
+    return df.withColumn(_ORD, ord_col)
+
+
+def fix_fields(fields: dict[str, Any]) -> dict[str, dict]:
+    """Normalize the fields spec (reference ``join.py:128-137``)."""
+    out: dict[str, dict] = {}
+    for field in fields:
+        spec = fields[field]
+        if spec is None:
+            spec = {}
+        spec = dict(spec)
+        spec.setdefault("name", field)
+        spec.setdefault("aggregate", "any")
+        out[field] = spec
+    return out
+
+
+def expand_fields(fields: dict[str, dict], columns: list[str]) -> dict[str, dict]:
+    """``'*'`` expands to all remaining source columns (reference
+    ``join.py:140-148``)."""
+    if "*" not in fields:
+        return fields
+    fields = dict(fields)
+    existing = {s.get("name", f) for f, s in fields.items() if f != "*"}
+    star = fields.pop("*") or {}
+    for c in columns:
+        if c not in existing and not c.startswith("__df_"):
+            spec = dict(star)
+            spec["name"] = c
+            spec.setdefault("aggregate", "any")
+            fields[c] = spec
+    return fields
+
+
+def _agg_expr(agg: str, name: str, out: str) -> Column:
+    c = F.col(name)
+    nn_ord = F.when(c.isNotNull(), F.col(_ORD))
+    if agg == "sum":
+        return F.sum(c).alias(out)
+    if agg == "avg":
+        return F.avg(c).alias(out)
+    if agg == "median":
+        return F.median(c).alias(out)
+    if agg == "max":
+        return F.max(c).alias(out)
+    if agg == "min":
+        return F.min(c).alias(out)
+    if agg == "first":
+        return F.min_by(c, nn_ord).alias(out)
+    if agg in ("last", "any"):
+        return F.max_by(c, nn_ord).alias(out)
+    if agg == "count":
+        return F.count(F.lit(1)).alias(out)
+    if agg == "set":
+        return F.array_sort(F.collect_set(c)).alias(out)
+    if agg == "array":
+        return F.transform(
+            F.array_sort(
+                F.collect_list(F.when(c.isNotNull(), F.struct(F.col(_ORD).alias("o"), c.alias("v"))))
+            ),
+            lambda x: x["v"],
+        ).alias(out)
+    raise ValueError(f"unknown aggregator: {agg}")
+
+
+def _counters_df(source: DataFrame, key_cols: list[str], name: str, out: str) -> DataFrame:
+    """Two-phase counters (reference ``join.py:117-122``): per-(key,
+    value) counts map-side-combined by Spark, then re-aggregated into a
+    count-desc list — never a giant collect_list of raw values."""
+    c = F.col(name)
+    exploded = source.select(
+        *key_cols,
+        F.explode(
+            F.when(c.isNotNull(), F.array(c.cast("string"))).otherwise(F.array().cast("array<string>"))
+        ).alias("__val__"),
+    )
+    per_value = exploded.groupBy(*key_cols, "__val__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # sort by (-count, value) asc == count desc, value asc (deterministic)
+    return per_value.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("__cnt__")).alias("nc"), F.col("__val__").alias("value"), F.col("__cnt__").alias("count"))
+                )
+            ),
+            lambda x: F.struct(x["value"].alias("value"), x["count"].alias("count")),
+        ).alias(out)
+    )
+
+
+def aggregate_source(
+    source: DataFrame,
+    key: Any,
+    fields: dict[str, dict],
+    ordering: list[str] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """GroupBy-aggregate the source per the fields spec; returns
+    (aggregated df, join key column names)."""
+    fields = expand_fields(fix_fields(fields), source.columns)
+    src = _with_ord(source, ordering, rownum=_is_format_key(key) and "{#}" in key)
+    if _is_format_key(key):
+        key_cols = [_JKEY]
+        src = src.withColumn(_JKEY, _format_key_col(key))
+    else:
+        key_cols = list(key)
+
+    main_aggs = {f: s for f, s in fields.items() if s["aggregate"] != "counters"}
+    counter_aggs = {f: s for f, s in fields.items() if s["aggregate"] == "counters"}
+
+    # output fields may collide with groupBy key names (a join_with_self
+    # spec routinely re-emits the key) — alias those to temp names
+    out_map = {f: (f"__out_{f}" if f in key_cols else f) for f in fields}
+    exprs = [_agg_expr(s["aggregate"], s["name"], out_map[f]) for f, s in main_aggs.items()]
+    exprs.append(F.lit(True).alias(_MATCH))
+    agg = src.groupBy(*key_cols).agg(*exprs)
+    for f, s in counter_aggs.items():
+        cdf = _counters_df(src, key_cols, s["name"], out_map[f])
+        # rename join keys on the counters side: both frames share lineage
+        # (self-join), which makes bare key references ambiguous
+        ck = [f"__ck{i}__" for i in range(len(key_cols))]
+        cdf = cdf.toDF(*ck, out_map[f])
+        cond = reduce(
+            lambda a, b: a & b,
+            [agg[k].eqNullSafe(cdf[c]) for k, c in zip(key_cols, ck)],
+        )
+        agg = agg.join(cdf, on=cond, how="left").drop(*ck)
+    return agg, key_cols, out_map
+
+
+class join(Stage):
+    """Join target←source with per-field aggregation (reference
+    ``join.py:380-381``).
+
+    ``ordering`` (engine extension): columns defining "stream order" for
+    order-sensitive aggregators; defaults to scan order via
+    ``monotonically_increasing_id``.
+    """
+
+    name = "join"
+
+    def __init__(
+        self,
+        source_name: str,
+        source_key: Any,
+        target_name: str | None = None,
+        target_key: Any = None,
+        fields: dict[str, Any] | None = None,
+        full: bool | None = None,
+        mode: str = "half-outer",
+        source_delete: bool = True,
+        ordering: list[str] | None = None,
+    ):
+        if full is not None:
+            mode = "half-outer" if full else "inner"
+        assert mode in ("inner", "half-outer", "full-outer")
+        self.source_name = source_name
+        self.source_key = source_key
+        self.target_name = target_name
+        self.target_key = target_key
+        self.fields = fields or {}
+        self.mode = mode
+        self.source_delete = source_delete
+        self.ordering = ordering
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        source = pkg[self.source_name]
+
+        agg, skey_cols, out_map = aggregate_source(source, self.source_key, self.fields, self.ordering)
+
+        if self.target_key is None:
+            # join_with_self / deduplication mode (reference join.py:224-235):
+            # one row per distinct key, aggregated fields only
+            out_fields = list(expand_fields(fix_fields(self.fields), source.columns))
+            result = agg.select(*[F.col(out_map[f]).alias(f) for f in out_fields])
+            tname = self.target_name or self.source_name
+            pkg[tname] = result
+            if self.source_delete and tname != self.source_name and self.source_name in pkg:
+                del pkg[self.source_name]
+            return
+
+        target = pkg[self.target_name]
+        fields = expand_fields(fix_fields(self.fields), source.columns)
+        new_cols = list(fields)
+
+        # resolve join condition
+        same_key_names = False
+        if _is_format_key(self.target_key) or _is_format_key(self.source_key):
+            tkey_spec = (
+                self.target_key
+                if _is_format_key(self.target_key)
+                else ":".join("{%s}" % k for k in self.target_key)
+            )
+            tgt = (
+                _with_ord(target, self.ordering, rownum="{#}" in tkey_spec)
+                .withColumn(_JKEY, _format_key_col(tkey_spec))
+                .drop(_ORD)
+            )
+            join_on = [_JKEY]
+        else:
+            tkey = list(self.target_key)
+            if skey_cols == tkey:
+                same_key_names = True
+                tgt = target
+                join_on = tkey
+            else:
+                # differing key names: rename agg's key cols to target's
+                for s, t in zip(skey_cols, tkey):
+                    agg = agg.withColumnRenamed(s, t)
+                tgt = target
+                join_on = tkey
+                same_key_names = True
+
+        how = {"inner": "inner", "half-outer": "left", "full-outer": "full"}[self.mode]
+
+        # project agg to join keys + uniformly-prefixed output columns, so
+        # neither target-column nor key-name collisions can occur
+        agg_proj = agg.select(
+            *join_on,
+            *[F.col(out_map[f]).alias(f"__agg_{f}") for f in new_cols],
+            F.col(_MATCH),
+        )
+
+        joined = tgt.join(agg_proj, on=join_on, how=how)
+
+        # matched rows take the aggregate; unmatched keep the target's own
+        # value if the column pre-existed (reference join.py:244-249)
+        matched = F.col(_MATCH)
+        select_cols: list[Column] = []
+        tgt_cols = [c for c in tgt.columns if c != _JKEY]
+        for c in tgt_cols:
+            if c in new_cols:
+                select_cols.append(F.when(matched, F.col(f"__agg_{c}")).otherwise(F.col(c)).alias(c))
+            else:
+                select_cols.append(F.col(c))
+        for c in new_cols:
+            if c not in tgt_cols:
+                select_cols.append(F.col(f"__agg_{c}").alias(c))
+        result = joined.select(*select_cols)
+        pkg[self.target_name] = result
+        if self.source_delete and self.source_name in pkg and self.source_name != self.target_name:
+            del pkg[self.source_name]
+
+
+class join_with_self(Stage):
+    """GROUP-BY / dedup mode (reference ``join.py:384-385``): one output
+    row per distinct ``join_key`` with aggregated fields; ``'*'``
+    expands to all remaining columns."""
+
+    name = "join_with_self"
+
+    def __init__(self, resource_name: str, join_key: Any, fields: dict[str, Any], ordering: list[str] | None = None):
+        self.resource_name = resource_name
+        self.join_key = join_key
+        self.fields = fields
+        self.ordering = ordering
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        source = pkg[self.resource_name]
+        agg, key_cols, out_map = aggregate_source(source, self.join_key, self.fields, self.ordering)
+        out_fields = list(expand_fields(fix_fields(self.fields), source.columns))
+        pkg[self.resource_name] = agg.select(*[F.col(out_map[f]).alias(f) for f in out_fields])

@@ -1,0 +1,256 @@
+"""Per-row transforms & predicates: find_replace, set_type, validate,
+filter_rows.
+
+Parity targets in the reference:
+- find_replace: ``dataflows/processors/find_replace.py:17-28`` (regex
+  substitute inside string fields; coerces via str() at :10-13)
+- set_type: ``dataflows/processors/set_type.py:9-72`` with the error
+  handlers of ``dataflows/base/schema_validator.py:23-50``
+  (raise / drop row / ignore / clear field)
+- validate: ``dataflows/processors/validate.py:8-61``
+- filter_rows: ``dataflows/processors/filter_rows.py:24-38``
+
+Everything compiles to Catalyst expressions (``regexp_replace``,
+``try_cast``, boolean predicates) so filters push down to the scan and
+casts run inside whole-stage codegen. Only user callables take the
+Arrow UDF shim.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core.context import Context
+from ..core.flow import Stage
+from ..core.package import TablePackage
+from .fields import _resolve_fields, spark_type
+
+# error-mode names mirroring dataflows.base.schema_validator
+RAISE = "raise"
+DROP = "drop"
+IGNORE = "ignore"
+CLEAR = "clear"
+
+
+class find_replace(Stage):
+    """Regex substitution inside string fields. ``fields`` is a list of
+    ``{'name': field, 'patterns': [{'find': rx, 'replace': s}, ...]}``
+    (reference ``find_replace.py``). This is the transcript-normalization
+    primitive of the audio tier."""
+
+    name = "find_replace"
+
+    def __init__(self, fields: list[dict], resources: Any = None):
+        self.fields = fields
+        self.resources = resources
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(name, df):
+            for spec in self.fields:
+                col = spec["name"]
+                expr = F.col(col).cast("string")  # reference coerces via str()
+                for pat in spec.get("patterns", []):
+                    expr = F.regexp_replace(expr, pat["find"], pat["replace"])
+                df = df.withColumn(col, expr)
+            return df
+
+        pkg.apply(apply, self.resources)
+
+
+def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None):
+    """Cast a column with reference error semantics
+    (``schema_validator.py:23-50``)."""
+    on_error = on_error or RAISE
+    target = spark_type(dtype)
+    if on_error == DROP:
+        # drop rows whose non-null value fails the cast
+        casted = F.col(col).try_cast(target)
+        bad = F.col(col).isNotNull() & casted.isNull()
+        return df.filter(~bad).withColumn(col, casted)
+    if on_error == CLEAR:
+        return df.withColumn(col, F.col(col).try_cast(target))
+    if on_error == IGNORE:
+        # keep original value/type untouched on failure — mixed types are
+        # unrepresentable in a static column, so keep string form
+        casted = F.col(col).try_cast(target)
+        return df.withColumn(
+            col,
+            F.when(casted.isNotNull() | F.col(col).isNull(), casted.cast("string"))
+            .otherwise(F.col(col).cast("string")),
+        )
+    # RAISE: use try_cast then assert_true so failures surface at action
+    casted = F.col(col).try_cast(target)
+    guard = F.assert_true(
+        F.col(col).isNull() | casted.isNotNull(),
+        F.concat(F.lit(f"set_type({col}→{dtype}) failed for value: "), F.col(col).cast("string")),
+    )
+    return df.withColumn(col, F.when(guard.isNull(), casted))
+
+
+class set_type(Stage):
+    """Change a (regex-matched) field's type, optionally transforming
+    first, casting with an ``on_error`` policy (reference
+    ``set_type.py:9-72``)."""
+
+    name = "set_type"
+
+    def __init__(
+        self,
+        name: str,
+        resources: Any = -1,
+        regex: bool = True,
+        on_error: str | None = None,
+        transform: Callable | None = None,
+        type: str = "string",
+        **options: Any,
+    ):
+        self.pattern = name
+        self.resources = None if resources == -1 else resources
+        self.regex = regex
+        self.on_error = on_error
+        self.transform = transform
+        self.type = type
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(rname, df):
+            cols = _resolve_fields([self.pattern], df.columns, self.regex)
+            if not cols:
+                raise ValueError(f"set_type: no column matches {self.pattern!r}")
+            for c in cols:
+                if self.transform is not None:
+                    from .udf import row_mapper
+
+                    fn, cc = self.transform, c
+                    import inspect
+
+                    nparams = len(inspect.signature(fn).parameters)
+
+                    def txrow(row, fn=fn, cc=cc, nparams=nparams):
+                        if nparams >= 3:
+                            v = fn(row[cc], cc, row)
+                        elif nparams == 2:
+                            v = fn(row[cc], cc)
+                        else:
+                            v = fn(row[cc])
+                        # the pre-cast column is string-typed; the cast to
+                        # the target type happens right after (reference
+                        # set_type.py: transform then cast)
+                        row[cc] = None if v is None else str(v)
+                        return row
+
+                    p = TablePackage()
+                    p.add(rname, df.withColumn(c, F.col(c).cast("string")))
+                    row_mapper(txrow).process(ctx, p)
+                    df = p[rname]
+                df = _cast_with_on_error(df, c, self.type, self.on_error)
+            return df
+
+        pkg.apply(apply, self.resources)
+
+
+class validate(Stage):
+    """Row validation (reference ``validate.py:8-61``): with no args,
+    re-cast all fields per current schema (a no-op here since Spark
+    schemas are always enforced); with a callable, keep rows satisfying
+    it; with ``(field, validator)``, keep rows whose field passes.
+    ``on_error='drop'`` drops failures (default raises)."""
+
+    name = "validate"
+
+    def __init__(self, *args: Any, resources: Any = None, on_error: str | None = None):
+        self.args = args
+        self.resources = resources
+        self.on_error = on_error or RAISE
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(name, df):
+            pred: Column | None = None
+            if len(self.args) == 1 and callable(self.args[0]):
+                fn = self.args[0]
+                from .udf import rows_transform
+
+                keep = lambda rows: (r for r in rows if fn(r))  # noqa: E731
+                p = TablePackage()
+                p.add(name, df)
+                rows_transform(keep).process(ctx, p)
+                return p[name]
+            if len(self.args) == 2:
+                field, validator = self.args
+                if callable(validator):
+                    from .udf import rows_transform
+
+                    keep = lambda rows: (r for r in rows if validator(r[field]))  # noqa: E731
+                    p = TablePackage()
+                    p.add(name, df)
+                    rows_transform(keep).process(ctx, p)
+                    return p[name]
+                pred = validator  # a Column predicate
+            if pred is not None:
+                if self.on_error == DROP:
+                    return df.filter(pred)
+                guard = F.assert_true(pred, F.lit("validate failed"))
+                return df.withColumn("__v", guard).drop("__v")
+            return df
+
+        pkg.apply(apply, self.resources)
+
+
+def _equality_predicate(equals, not_equals) -> Column | None:
+    """Legacy OR-of-equality dicts (reference ``filter_rows.py:4-15``):
+    keep row if ANY equals-dict fully matches, or ANY not_equals-dict
+    fully differs."""
+    terms: list[Column] = []
+    for d in equals or ():
+        conj = reduce(lambda a, b: a & b, [F.col(k).eqNullSafe(F.lit(v)) for k, v in d.items()])
+        terms.append(conj)
+    for d in not_equals or ():
+        conj = reduce(lambda a, b: a & b, [~F.col(k).eqNullSafe(F.lit(v)) for k, v in d.items()])
+        terms.append(conj)
+    if not terms:
+        return None
+    return reduce(lambda a, b: a | b, terms)
+
+
+class filter_rows(Stage):
+    """Keep rows matching a condition (reference
+    ``filter_rows.py:24-38``). ``condition`` may be a Spark Column, a
+    SQL string, or a Python callable over a row-dict (slow path)."""
+
+    name = "filter_rows"
+
+    def __init__(
+        self,
+        condition: Any = None,
+        equals: Any = tuple(),
+        not_equals: Any = tuple(),
+        resources: Any = None,
+    ):
+        self.condition = condition
+        self.equals = equals
+        self.not_equals = not_equals
+        self.resources = resources
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(name, df):
+            if self.condition is not None:
+                if isinstance(self.condition, Column):
+                    return df.filter(self.condition)
+                if isinstance(self.condition, str):
+                    return df.filter(F.expr(self.condition))
+                fn = self.condition
+                from .udf import rows_transform
+
+                keep = lambda rows: (r for r in rows if fn(r))  # noqa: E731
+                p = TablePackage()
+                p.add(name, df)
+                rows_transform(keep).process(ctx, p)
+                return p[name]
+            pred = _equality_predicate(self.equals, self.not_equals)
+            return df.filter(pred) if pred is not None else df
+
+        pkg.apply(apply, self.resources)

@@ -1,0 +1,145 @@
+"""Core Flow DSL tests, mirroring the reference's test style
+(``tests/test_lib.py``): small literal inputs, exact golden outputs."""
+
+import pytest
+
+from dataflows_spark import (
+    Flow,
+    ProcessorError,
+    add_computed_field,
+    add_field,
+    delete_fields,
+    filter_rows,
+    find_replace,
+    rename_fields,
+    select_fields,
+    set_type,
+    sort_rows,
+    update_package,
+)
+
+DATA = [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}, {"x": 3, "y": "c"}]
+
+
+def test_iterable_load_and_results(spark):
+    results, meta, stats = Flow(DATA).results(spark)
+    assert sorted(results[0], key=lambda r: r["x"]) == DATA
+
+
+def test_add_field(spark):
+    results, _, _ = Flow(DATA, add_field("z", "integer", 7)).results(spark)
+    assert all(r["z"] == 7 for r in results[0])
+
+
+def test_add_computed_field_ops(spark):
+    data = [{"a": 1, "b": 4}, {"a": 10, "b": 2}]
+    results, _, _ = Flow(
+        data,
+        add_computed_field(
+            [
+                {"target": "s", "operation": "sum", "source": ["a", "b"]},
+                {"target": "m", "operation": "multiply", "source": ["a", "b"]},
+                {"target": "mx", "operation": "max", "source": ["a", "b"]},
+                {"target": "j", "operation": "join", "source": ["a", "b"], "with": "-"},
+                {"target": "f", "operation": "format", "with": "{a}_{b}"},
+            ]
+        ),
+    ).results(spark)
+    rows = sorted(results[0], key=lambda r: r["a"])
+    assert [r["s"] for r in rows] == [5, 12]
+    assert [r["m"] for r in rows] == [4, 20]
+    assert [r["mx"] for r in rows] == [4, 10]
+    assert [r["j"] for r in rows] == ["1-4", "10-2"]
+    assert [r["f"] for r in rows] == ["1_4", "10_2"]
+
+
+def test_select_delete_rename(spark):
+    results, _, _ = Flow(DATA, select_fields(["y", "x"], regex=False)).results(spark)
+    assert list(results[0][0].keys()) == ["y", "x"]
+    results, _, _ = Flow(DATA, delete_fields(["y"], regex=False)).results(spark)
+    assert list(results[0][0].keys()) == ["x"]
+    # regex rename with backreference (reference rename_fields.py:14-61)
+    data = [{"a1": 1, "a2": 2, "b": 3}]
+    results, _, _ = Flow(data, rename_fields({r"a(\d)": r"A\1"})).results(spark)
+    assert set(results[0][0].keys()) == {"A1", "A2", "b"}
+
+
+def test_filter_rows_modes(spark):
+    results, _, _ = Flow(DATA, filter_rows(equals=[{"x": 1}, {"x": 3}])).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [1, 3]
+    results, _, _ = Flow(DATA, filter_rows(not_equals=[{"y": "b"}])).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [1, 3]
+    results, _, _ = Flow(DATA, filter_rows(condition="x >= 2")).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [2, 3]
+    results, _, _ = Flow(DATA, filter_rows(condition=lambda row: row["y"] == "c")).results(spark)
+    assert [r["x"] for r in results[0]] == [3]
+
+
+def test_find_replace(spark):
+    data = [{"t": "hello  world"}, {"t": "HELLO x"}]
+    results, _, _ = Flow(
+        data,
+        find_replace([{"name": "t", "patterns": [{"find": r"\s+", "replace": " "}, {"find": "(?i)hello", "replace": "hi"}]}]),
+    ).results(spark)
+    assert sorted(r["t"] for r in results[0]) == ["hi world", "hi x"]
+
+
+def test_set_type_error_modes(spark):
+    # mirrors reference tests/test_lib.py:1110-1158
+    data = [{"a": 1, "b": "1"}, {"a": 2, "b": "x"}, {"a": 3, "b": "3"}]
+    # drop: row with uncastable b disappears
+    results, _, _ = Flow(data, set_type("b", type="integer", on_error="drop")).results(spark)
+    assert sorted(r["a"] for r in results[0]) == [1, 3]
+    # clear: value nulled
+    results, _, _ = Flow(data, set_type("b", type="integer", on_error="clear")).results(spark)
+    rows = {r["a"]: r["b"] for r in results[0]}
+    assert rows == {1: 1, 2: None, 3: 3}
+    # raise: surfaces as ProcessorError at the action
+    with pytest.raises(ProcessorError):
+        Flow(data, set_type("b", type="integer", on_error="raise")).results(spark)
+
+
+def test_set_type_transform(spark):
+    data = [{"a": "1"}, {"a": "2"}]
+    results, _, _ = Flow(
+        data, set_type("a", type="integer", transform=lambda v: int(v) * 10)
+    ).results(spark)
+    assert sorted(r["a"] for r in results[0]) == [10, 20]
+
+
+def test_sort_rows(spark):
+    data = [{"a": -3.5}, {"a": 100.0}, {"a": 0.0}, {"a": -0.1}, {"a": 2.0}]
+    results, _, _ = Flow(data, sort_rows(["a"])).results(spark)
+    assert [r["a"] for r in results[0]] == [-3.5, -0.1, 0.0, 2.0, 100.0]
+    results, _, _ = Flow(data, sort_rows("{a}", reverse=True)).results(spark)
+    assert [r["a"] for r in results[0]] == [100.0, 2.0, 0.0, -0.1, -3.5]
+
+
+def test_bare_function_row_and_rows(spark):
+    def row(row):
+        row["x"] = row["x"] * 2
+
+    results, _, _ = Flow(DATA, row).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [2, 4, 6]
+
+    def rows(rows):
+        for r in rows:
+            if r["x"] != 2:
+                yield r
+
+    results, _, _ = Flow(DATA, rows).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [1, 3]
+
+
+def test_update_package_meta(spark):
+    _, meta, _ = Flow(DATA, update_package(title="T")).results(spark)
+    assert meta["meta"]["title"] == "T"
+
+
+def test_processor_error_position(spark):
+    def boom(row):
+        raise RuntimeError("nope")
+
+    with pytest.raises(ProcessorError) as ei:
+        Flow(DATA, boom).results(spark)
+    assert ei.value.processor_position >= 1
