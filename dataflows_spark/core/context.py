@@ -41,6 +41,13 @@ def build_session(
     task count ≫ cores (scaling-efficiency requirement)."""
     import os
 
+    # make the package importable inside Python worker processes regardless
+    # of the driver's cwd (spark-submit --py-files equivalent for local dev)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+
     if master is None:
         cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = f"local[{cores}]"
@@ -61,6 +68,7 @@ def build_session(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

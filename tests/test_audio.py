@@ -1,0 +1,118 @@
+"""Audio codec + clips-table tests: the BASELINE.json input_hint
+invariant (decoded-PCM SNR ≥ 30 dB, transcript equality) plus an
+independent scalar reference decoder cross-check."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataflows_spark.functions import audio
+from dataflows_spark.sources.clips import clips_df
+
+
+def _signal(n=4000, sr=16000):
+    rng = np.random.Generator(np.random.Philox(key=[7, 1]))
+    t = np.arange(n) / sr
+    x = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1330 * t)
+    return np.clip(x + 0.02 * rng.standard_normal(n), -0.999, 0.999).astype(np.float32)
+
+
+# -- independent scalar reference decoders (pure Python, per sample) --------
+
+def _ref_decode(raw: bytes, codec: str):
+    import struct
+
+    if codec == "pcm_s16le":
+        vals = struct.unpack(f"<{len(raw)//2}h", raw)
+        return [v / 32767.0 for v in vals]
+    if codec == "pcm_f32le":
+        return list(struct.unpack(f"<{len(raw)//4}f", raw))
+    if codec == "ulaw":
+        out = []
+        for b in raw:
+            y = b / 127.5 - 1.0
+            s = 1.0 if y >= 0 else -1.0
+            out.append(s * (math.expm1(abs(y) * math.log1p(255.0))) / 255.0)
+        return out
+    if codec == "alaw":
+        A = 87.6
+        lnap1 = 1.0 + math.log(A)
+        out = []
+        for b in raw:
+            y = b / 127.5 - 1.0
+            s = 1.0 if y >= 0 else -1.0
+            ay = abs(y)
+            if ay < 1.0 / lnap1:
+                out.append(s * ay * lnap1 / A)
+            else:
+                out.append(s * math.exp(ay * lnap1 - 1.0) / A)
+        return out
+    raise ValueError(codec)
+
+
+@pytest.mark.parametrize("codec,min_snr", [
+    ("pcm_s16le", 80.0),
+    ("pcm_f32le", 200.0),  # lossless (inf); guard with big number
+    ("ulaw", 30.0),
+    ("alaw", 30.0),
+])
+def test_roundtrip_snr(codec, min_snr):
+    x = _signal()
+    raw = audio.encode_clip(x, codec)
+    y = audio.decode_clip(raw, codec)
+    assert len(y) == len(x)
+    s = audio.snr_db(x, y)
+    assert s >= min_snr, f"{codec}: SNR {s:.1f} dB < {min_snr}"
+
+
+@pytest.mark.parametrize("codec", audio.CODECS)
+def test_vectorized_decode_matches_scalar_reference(codec):
+    x = _signal(n=500)
+    raw = audio.encode_clip(x, codec)
+    fast = audio.decode_clip(raw, codec)
+    ref = np.array(_ref_decode(raw, codec), dtype=np.float64)
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_clips_table_schema_and_determinism(spark):
+    df1 = clips_df(spark, 50, seed=42, dur_min=200, dur_max=1000, partitions=4)
+    df2 = clips_df(spark, 50, seed=42, dur_min=200, dur_max=1000, partitions=2)
+    rows1 = {r["clip_id"]: r for r in df1.collect()}
+    rows2 = {r["clip_id"]: r for r in df2.collect()}
+    assert set(rows1) == set(rows2) and len(rows1) == 50
+    # identical bytes regardless of partitioning
+    for cid in rows1:
+        assert rows1[cid]["bytes"] == rows2[cid]["bytes"]
+        assert rows1[cid]["transcript"] == rows2[cid]["transcript"]
+    # codec skew: majority pcm_s16le
+    codecs = [r["codec"] for r in rows1.values()]
+    assert codecs.count("pcm_s16le") >= 0.6 * len(codecs)
+
+
+def test_duration_validation_jvm_side(spark):
+    df = clips_df(spark, 200, seed=42, dur_min=200, dur_max=1000, partitions=4)
+    flagged = df.withColumn("ok", audio.duration_valid_col())
+    bad = flagged.filter(~F.col("ok")).count()
+    total = flagged.count()
+    # ~1% corrupted by construction
+    assert 0 < bad < 0.05 * total
+    # the validation plan must contain no Python evaluation
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan.split("mapInPandas")[0]
+
+
+def test_decode_pcm_udf_and_snr(spark):
+    df = clips_df(spark, 30, seed=42, dur_min=200, dur_max=800, partitions=2)
+    out = (
+        df.withColumn("pcm", audio.decode_pcm("bytes", "codec"))
+        .withColumn("rms", audio.pcm_rms("pcm"))
+        .withColumn("n", F.size("pcm"))
+        .select("clip_id", "codec", "dur_ms", "sr_hz", "n", "rms")
+        .collect()
+    )
+    assert len(out) == 30
+    for r in out:
+        assert r["rms"] is not None and 0.05 < r["rms"] < 1.0
+        assert r["n"] > 0

@@ -1,0 +1,204 @@
+"""Streaming-tier tests (north rule): tumbling/sliding/session windows,
+watermark late-data handling, stateful stream-stream join, exactly-once
+sink under replay, and checkpoint kill-restart resume.
+
+Streaming queries are driven synchronously: parquet file source +
+``processAllAvailable()`` (one file drop per micro-batch)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflows_spark.sources.clips import clips_df, transcripts_side_df
+from dataflows_spark.sources.table import SnapshotTable
+from dataflows_spark.streaming import (
+    ExactlyOnceParquetSink,
+    KeyedMergeSink,
+    LineageListener,
+    session_window_agg,
+    sliding_window_agg,
+    start_exactly_once_query,
+    stream_stream_join,
+    tumbling_window_agg,
+)
+
+TS = dt.datetime  # brevity
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, schema="k string, ts timestamp, v double").coalesce(1)
+
+
+EVENTS = [
+    ("a", TS(2024, 1, 1, 0, 0, 30), 1.0),
+    ("a", TS(2024, 1, 1, 0, 1, 30), 2.0),
+    ("a", TS(2024, 1, 1, 0, 5, 10), 4.0),
+    ("b", TS(2024, 1, 1, 0, 0, 50), 8.0),
+    ("b", TS(2024, 1, 1, 0, 11, 0), 16.0),
+]
+
+
+def test_tumbling_window_batch_semantics(spark):
+    out = tumbling_window_agg(
+        _events(spark, EVENTS), "ts", "5 minutes", ["k"], {"total": {"name": "v", "aggregate": "sum"}, "n": {"aggregate": "count"}}
+    ).collect()
+    got = {(r["k"], r["window_start"].minute): (r["total"], r["n"]) for r in out}
+    assert got[("a", 0)] == (3.0, 2)
+    assert got[("a", 5)] == (4.0, 1)
+    assert got[("b", 0)] == (8.0, 1)
+    assert got[("b", 10)] == (16.0, 1)
+
+
+def test_sliding_window_counts(spark):
+    out = sliding_window_agg(
+        _events(spark, EVENTS), "ts", "10 minutes", "5 minutes", ["k"], {"n": {"aggregate": "count"}}
+    ).collect()
+    # event (a, 00:00:30) must land in windows starting 23:55 and 00:00
+    a_windows = sorted(r["window_start"].strftime("%H:%M") for r in out if r["k"] == "a")
+    assert a_windows.count("23:55") == 1 and "00:00" in a_windows
+
+
+def test_session_window_gap(spark):
+    out = session_window_agg(
+        _events(spark, EVENTS), "ts", "2 minutes", ["k"], {"n": {"aggregate": "count"}, "total": {"name": "v", "aggregate": "sum"}}
+    ).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append((r["n"], r["total"]))
+    # a: events at 0:30 and 1:30 merge (gap<2m); 5:10 separate
+    assert sorted(by_k["a"]) == [(1, 4.0), (2, 3.0)]
+    assert sorted(by_k["b"]) == [(1, 8.0), (1, 16.0)]
+
+
+def _stream_dir_setup(tmp_path, name):
+    d = tmp_path / name
+    (d / "in").mkdir(parents=True)
+    (d / "cp").mkdir()
+    (d / "out").mkdir()
+    return str(d / "in"), str(d / "cp"), str(d / "out")
+
+
+def _write_batch(spark, rows, schema, in_dir, fname):
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "wm")
+    schema = "k string, ts timestamp, v double"
+    listener = LineageListener()
+    spark.streams.addListener(listener)
+    try:
+        # batch 1: events up to 00:20 → watermark advances to 00:10
+        _write_batch(spark, [("a", TS(2024, 1, 1, 0, 0), 1.0), ("a", TS(2024, 1, 1, 0, 20), 2.0)], schema, in_dir, "b1")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+        agg = tumbling_window_agg(stream, "ts", "5 minutes", ["k"], {"n": {"aggregate": "count"}}, watermark="10 minutes")
+        sink = ExactlyOnceParquetSink(out)
+        q = start_exactly_once_query(agg, sink, cp, query_name="wm_test")
+        q.processAllAvailable()
+        # batch 2: a very late row (00:01, watermark is 00:10) → dropped
+        _write_batch(spark, [("a", TS(2024, 1, 1, 0, 1), 100.0), ("a", TS(2024, 1, 1, 0, 21), 3.0)], schema, in_dir, "b2")
+        q.processAllAvailable()
+        q.stop()
+        rows = sink.read(spark).collect()
+        # the 00:00-00:05 window must contain ONLY the first event
+        w0 = [r for r in rows if r["window_start"] == TS(2024, 1, 1, 0, 0)]
+        assert all(r["n"] == 1 for r in w0) and len(w0) >= 1
+        dropped = sum(
+            s.get("numRowsDroppedByWatermark") or 0
+            for p in listener.progress
+            for s in p.get("stateOperators", [])
+        )
+        assert dropped >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_stream_stream_join_time_bound(spark, tmp_path):
+    base = tmp_path / "ssj"
+    l_in, cp, out = _stream_dir_setup(tmp_path, "ssj_l")
+    r_in = str(base / "r_in")
+    os.makedirs(r_in)
+    lschema = "clip_id string, event_time timestamp, codec string"
+    rschema = "clip_id string, event_time timestamp, transcript_v2 string"
+    t0 = TS(2024, 1, 1, 0, 0)
+    _write_batch(spark, [("c1", t0, "pcm_s16le"), ("c2", t0, "ulaw")], lschema, l_in, "l1")
+    _write_batch(
+        spark,
+        [
+            ("c1", t0 + dt.timedelta(minutes=2), "hello"),   # within bound
+            ("c2", t0 + dt.timedelta(minutes=30), "too-late"),  # outside bound
+            ("cX", t0, "no-left-match"),
+        ],
+        rschema,
+        r_in,
+        "r1",
+    )
+    left = spark.readStream.schema(lschema).parquet(l_in)
+    right = spark.readStream.schema(rschema).parquet(r_in)
+    joined = stream_stream_join(left, right, "clip_id", "event_time", "event_time", watermark="10 minutes", time_bound="5 minutes")
+    sink = ExactlyOnceParquetSink(out)
+    q = joined.writeStream.outputMode("append").foreachBatch(sink).option("checkpointLocation", cp).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = sink.read(spark).collect()
+    assert [(r["clip_id"], r["transcript_v2_r"]) for r in rows] == [("c1", "hello")]
+
+
+def test_exactly_once_sink_replay_idempotent(spark, tmp_path):
+    out = str(tmp_path / "eo")
+    sink = ExactlyOnceParquetSink(out, dedup_keys=["k"])
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 1)], schema="k string, v int")
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replay of the same micro-batch
+    rows = sink.read(spark).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2)]
+    assert sink.committed_batches() == [0]
+
+
+def test_keyed_merge_sink_upsert(spark, tmp_path):
+    sink = KeyedMergeSink(str(tmp_path / "km"), keys=["clip_id"])
+    b0 = spark.createDataFrame([("c1", "v1"), ("c2", "v1")], schema="clip_id string, val string")
+    b1 = spark.createDataFrame([("c2", "v2"), ("c3", "v1")], schema="clip_id string, val string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # re-delivery → idempotent
+    rows = {r["clip_id"]: r["val"] for r in sink.read(spark).collect()}
+    assert rows == {"c1": "v1", "c2": "v2", "c3": "v1"}
+
+
+def test_checkpoint_kill_restart_exactly_once(spark, tmp_path):
+    """North-rule checkpoint/resume: feed the clips stream in two halves,
+    kill the query between them, restart from the same checkpointLocation,
+    assert the sink holds each window exactly once (reference analog:
+    checkpoint processor resume, tests/test_lib.py:961-1006)."""
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "kr")
+    schema = "k string, ts timestamp, v double"
+    half1 = [("a", TS(2024, 1, 1, 0, m), float(m)) for m in range(0, 10)]
+    half2 = [("a", TS(2024, 1, 1, 0, m), float(m)) for m in range(10, 20)]
+    _write_batch(spark, half1, schema, in_dir, "h1")
+
+    def run_query():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        agg = tumbling_window_agg(stream, "ts", "5 minutes", ["k"], {"n": {"aggregate": "count"}}, watermark="0 seconds")
+        sink = ExactlyOnceParquetSink(out)
+        q = start_exactly_once_query(agg, sink, cp, query_name="kr_test")
+        q.processAllAvailable()
+        q.stop()  # kill
+        return sink
+
+    run_query()
+    _write_batch(spark, half2, schema, in_dir, "h2")
+    sink = run_query()  # restart from same checkpoint
+
+    rows = sink.read(spark).collect()
+    # update-mode re-emits refined windows across batches; the LATEST value
+    # per window must be exact and each input row counted exactly once
+    latest = {}
+    for b in sink.committed_batches():
+        bdf = spark.read.parquet(os.path.join(out, "data", f"batch_id={b}")).collect()
+        for r in bdf:
+            latest[(r["k"], r["window_start"])] = r["n"]
+    assert sum(latest.values()) == 20
+    assert all(v == 5 for v in latest.values())
