@@ -1,38 +1,663 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship windowed audio processor-chain on a
+deterministic synthetic clips table (the north-rule input shape).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data ops, each exercised
+through the dataflows_spark engine and mirrored by an exact DuckDB
+oracle over the same parquet tables.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataflows_spark import (  # noqa: E402
+    Flow,
+    add_computed_field,
+    concatenate,
+    deduplicate,
+    filter_rows,
+    find_replace,
+    join,
+    join_with_self,
+    load,
+    select_fields,
+    set_primary_key,
+    sort_rows,
+    unpivot,
+)
+from dataflows_spark.functions import dedup as ddp  # noqa: E402
+from dataflows_spark.functions import similarity as sim  # noqa: E402
+from dataflows_spark.functions import text as txt  # noqa: E402
+from dataflows_spark.streaming import (  # noqa: E402
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _one(pkg_or_flow, spark, name: str) -> DataFrame:
+    pkg = pkg_or_flow.dataframes(spark)
+    return pkg[name]
+
+
+# ---------------------------------------------------------------------------
+# flagship: windowed audio processor-chain (north rule)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the north-rule clips table, validate duration
+    JVM-side, decode PCM via Arrow UDF, window per codec time-bucket."""
+    from dataflows_spark.functions import audio
+    from dataflows_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 500, seed=42, dur_min=200, dur_max=2000)
+    valid = clips.filter(audio.duration_valid_col())
+    feats = (
+        valid.withColumn("pcm", audio.decode_pcm("bytes", "codec"))
+        .withColumn("rms", audio.pcm_rms("pcm"))
+        .drop("pcm", "bytes")
+    )
+    return tumbling_window_agg(
+        feats,
+        "event_time",
+        "1 minute",
+        ["codec"],
+        {
+            "n_clips": {"aggregate": "count"},
+            "mean_rms": {"name": "rms", "aggregate": "avg"},
+            "total_ms": {"name": "dur_ms", "aggregate": "sum"},
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational queries (reference-processor parity)
+# ---------------------------------------------------------------------------
+
+def q_filter_select(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            filter_rows(condition="l_quantity > 45 AND l_discount < 0.02"),
+            select_fields(["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"], regex=False),
+        ),
+        spark,
+        "lineitem",
+    )
+
+
+def q_computed_field(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            filter_rows(condition="l_orderkey < 100"),
+            add_computed_field(
+                {"target": "revenue", "operation": "expr", "with": "l_extendedprice * (1 - l_discount)"},
+                {"target": "qty_price_max", "operation": "max", "source": ["l_quantity", "l_discount"]},
+                {"target": "line_key", "operation": "format", "with": "{l_orderkey}-{l_linenumber}"},
+            ),
+            select_fields(["l_orderkey", "l_linenumber", "revenue", "qty_price_max", "line_key"], regex=False),
+        ),
+        spark,
+        "lineitem",
+    )
+
+
+def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "orders"), name="orders"),
+            load(_t(sf, "customer"), name="customer"),
+            join(
+                "orders",
+                ["o_custkey"],
+                "customer",
+                ["c_custkey"],
+                {
+                    "n_orders": {"aggregate": "count"},
+                    "total_spend": {"name": "o_totalprice", "aggregate": "sum"},
+                    "max_order": {"name": "o_totalprice", "aggregate": "max"},
+                    "min_order": {"name": "o_totalprice", "aggregate": "min"},
+                    "avg_order": {"name": "o_totalprice", "aggregate": "avg"},
+                },
+                mode="inner",
+            ),
+            select_fields(["c_custkey", "n_orders", "total_spend", "max_order", "min_order", "avg_order"], regex=False),
+        ),
+        spark,
+        "customer",
+    ).withColumn("total_spend", F.round("total_spend", 4)).withColumn("avg_order", F.round("avg_order", 4))
+
+
+def q_join_half_outer(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            load(_t(sf, "part"), name="part"),
+            join(
+                "lineitem",
+                ["l_partkey"],
+                "part",
+                ["p_partkey"],
+                {"n_lines": {"aggregate": "count"}, "total_qty": {"name": "l_quantity", "aggregate": "sum"}},
+                mode="half-outer",
+            ),
+            select_fields(["p_partkey", "p_brand", "n_lines", "total_qty"], regex=False),
+        ),
+        spark,
+        "part",
+    )
+
+
+def q_group_q1(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            filter_rows(condition="l_shipdate <= timestamp'1998-09-02 00:00:00'"),
+            add_computed_field(
+                {"target": "disc_price", "operation": "expr", "with": "l_extendedprice * (1 - l_discount)"}
+            ),
+            join_with_self(
+                "lineitem",
+                ["l_returnflag", "l_linestatus"],
+                {
+                    "l_returnflag": None,
+                    "l_linestatus": None,
+                    "sum_qty": {"name": "l_quantity", "aggregate": "sum"},
+                    "sum_base_price": {"name": "l_extendedprice", "aggregate": "sum"},
+                    "sum_disc_price": {"name": "disc_price", "aggregate": "sum"},
+                    "avg_qty": {"name": "l_quantity", "aggregate": "avg"},
+                    "count_order": {"aggregate": "count"},
+                },
+            ),
+        ),
+        spark,
+        "lineitem",
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("sum_base_price", 4).alias("sum_base_price"),
+        F.round("sum_disc_price", 4).alias("sum_disc_price"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        "count_order",
+    )
+
+
+def q_agg_median_set(spark: SparkSession, sf: str) -> DataFrame:
+    df = _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            join_with_self(
+                "lineitem",
+                ["l_returnflag"],
+                {
+                    "l_returnflag": None,
+                    "median_qty": {"name": "l_quantity", "aggregate": "median"},
+                    "statuses": {"name": "l_linestatus", "aggregate": "set"},
+                    "n": {"aggregate": "count"},
+                },
+            ),
+        ),
+        spark,
+        "lineitem",
+    )
+    return df.withColumn("statuses", F.concat_ws(",", "statuses"))
+
+
+def q_concatenate(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "customer"), name="customer"),
+            load(_t(sf, "supplier"), name="supplier"),
+            concatenate(
+                {"name": ["c_name", "s_name"], "acctbal": ["c_acctbal", "s_acctbal"], "nationkey": ["c_nationkey", "s_nationkey"]},
+                target={"name": "entities"},
+            ),
+        ),
+        spark,
+        "entities",
+    )
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "part"), name="part"),
+            join_with_self(
+                "part",
+                ["p_brand"],
+                {
+                    "p_brand": None,
+                    "min_price": {"name": "p_retailprice", "aggregate": "min"},
+                    "max_price": {"name": "p_retailprice", "aggregate": "max"},
+                },
+            ),
+            unpivot(
+                [{"name": r"(min|max)_price", "keys": {"measure": r"\1"}}],
+                [{"name": "measure", "type": "string"}],
+                {"name": "price", "type": "number"},
+            ),
+        ),
+        spark,
+        "part",
+    )
+
+
+def q_deduplicate(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "orders"), name="orders"),
+            set_primary_key(["o_custkey"]),
+            deduplicate(ordering=["o_orderkey"]),
+            select_fields(["o_custkey", "o_orderkey", "o_totalprice"], regex=False),
+        ),
+        spark,
+        "orders",
+    )
+
+
+def q_sort_topk(spark: SparkSession, sf: str) -> DataFrame:
+    pkg = Flow(
+        load(_t(sf, "orders"), name="orders"),
+        sort_rows(["o_totalprice", "o_orderkey"], reverse=True),
+        select_fields(["o_orderkey", "o_totalprice"], regex=False),
+    ).dataframes(spark)
+    return pkg["orders"].limit(10)
+
+
+def q_find_replace(spark: SparkSession, sf: str) -> DataFrame:
+    return _one(
+        Flow(
+            load(_t(sf, "customer"), name="customer"),
+            find_replace(
+                [
+                    {
+                        "name": "c_name",
+                        "patterns": [
+                            {"find": "Customer#", "replace": "C-"},
+                            {"find": "0+(\\d)", "replace": "$1"},
+                        ],
+                    }
+                ]
+            ),
+            select_fields(["c_custkey", "c_name"], regex=False),
+        ),
+        spark,
+        "customer",
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed queries (streaming semantics, batch-verifiable)
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    events = spark.read.parquet(_t(sf, "events"))
+    return tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n": {"aggregate": "count"}, "total_value": {"name": "value", "aggregate": "sum"}},
+    ).select("window_start", "event_type", "n", F.round("total_value", 4).alias("total_value"))
+
+
+def q_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    events = spark.read.parquet(_t(sf, "events"))
+    return sliding_window_agg(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        {"n": {"aggregate": "count"}},
+    ).select("window_start", "event_type", "n")
+
+
+def q_window_session(spark: SparkSession, sf: str) -> DataFrame:
+    events = spark.read.parquet(_t(sf, "events"))
+    return (
+        session_window_agg(
+            events,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            {"n_events": {"aggregate": "count"}, "total_value": {"name": "value", "aggregate": "sum"}},
+        )
+        .select("user_id", "window_start", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return docs.select(
+        "doc_id",
+        txt.ws_token_count("text").cast("long").alias("ws_tokens"),
+        txt.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("long").alias("n_punct"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return docs.select(
+        "doc_id",
+        txt.fingerprint_md5("text").alias("fp_md5"),
+        txt.fingerprint_int("text").alias("fp_int"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return docs.select("doc_id", "lang", txt.lang_id("text").alias("lang_guess"))
+
+
+def _docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ copies of doc_id<50 (shifted ids) — deterministic
+    duplicates for the dedup queries; oracle mirrors the same union."""
+    docs = spark.read.parquet(_t(sf, "documents"))
+    copies = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 100000)
+    return docs.unionByName(copies)
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return ddp.exact_dedup(_docs_with_dups(spark, sf), "text", "doc_id").select("doc_id")
+
+
+def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf, "documents"))
+    sig = ddp.minhash_signature("text", num_hashes=4, ngram=3)
+    return docs.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("h0"),
+        F.element_at(sig, 2).alias("h1"),
+        F.element_at(sig, 3).alias("h2"),
+        F.element_at(sig, 4).alias("h3"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return ddp.minhash_lsh_candidates(
+        _docs_with_dups(spark, sf), "text", "doc_id", num_hashes=4, num_bands=2, ngram=3
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return ddp.jaccard_pairs(_docs_with_dups(spark, sf), "text", "doc_id", threshold=0.9, ngram=3)\
+        .withColumn("jaccard", F.floor(F.col("jaccard") * 1000).cast("long"))
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return docs.select("doc_id", ddp.simhash64("text").alias("simhash"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=20).select("vec_id")
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    return (
+        ddp.embedding_neardup_pairs(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")), "embedding", "vec_id", threshold=0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.lsh_cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=10, bits=6).select("vec_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_select": q_filter_select,
+        "computed_field": q_computed_field,
+        "join_agg": q_join_agg,
+        "join_half_outer": q_join_half_outer,
+        "group_q1": q_group_q1,
+        "agg_median_set": q_agg_median_set,
+        "concatenate": q_concatenate,
+        "unpivot": q_unpivot,
+        "deduplicate": q_deduplicate,
+        "sort_topk": q_sort_topk,
+        "find_replace": q_find_replace,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_GRAMS = (
+    "CASE WHEN length({n}) < 3 THEN [{n}] ELSE "
+    "list_distinct([substr({n}, i, 3) for i in range(1, length({n}) - 1)]) END"
+)
+
+
+def _grams(norm_expr: str) -> str:
+    return _GRAMS.format(n=norm_expr)
+
+
+_DOCS_WITH_DUPS = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)"
+)
+
+_MINHASH_H = (
+    "list_min([CAST(concat('0x', substr(md5(concat(g, ':{i}')), 1, 15)) AS BIGINT) "
+    "for g in grams])"
+)
+
+
+def _lang_sql() -> str:
+    langs = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+        "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"],
+        "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+    }
+    score_exprs = []
+    for lang in sorted(langs):
+        words = ", ".join(f"'{w}'" for w in langs[lang])
+        score_exprs.append(
+            f"CASE WHEN length(norm)=0 THEN 0.0 ELSE "
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))::DOUBLE / len(toks) END AS s_{lang}"
+        )
+    pick = "CASE "
+    for lang in sorted(langs):  # first max wins (same tiebreak as engine)
+        pick += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang, {_NORM} AS norm,
+                 string_split({_NORM}, ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, {', '.join(score_exprs)} FROM t
+        ), b AS (
+          SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s
+        )
+        SELECT doc_id, lang, {pick} AS lang_guess FROM b
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    sql["filter_select"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_quantity > 45 AND l_discount < 0.02"
+    )
+    sql["computed_field"] = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue, "
+        "greatest(l_quantity, l_discount) AS qty_price_max, "
+        "concat(l_orderkey, '-', l_linenumber) AS line_key "
+        "FROM lineitem WHERE l_orderkey < 100"
+    )
+    sql["join_agg"] = (
+        "SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total_spend, "
+        "max(o.o_totalprice) AS max_order, min(o.o_totalprice) AS min_order, "
+        "round(avg(o.o_totalprice), 4) AS avg_order "
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1"
+    )
+    sql["join_half_outer"] = (
+        "SELECT p.p_partkey, p.p_brand, a.n_lines, a.total_qty FROM part p LEFT JOIN ("
+        "  SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity), 4) AS total_qty FROM lineitem GROUP BY 1"
+        ") a ON a.l_partkey = p.p_partkey"
+    )
+    sql["group_q1"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"
+    )
+    sql["agg_median_set"] = (
+        "SELECT l_returnflag, median(l_quantity) AS median_qty, "
+        "array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, "
+        "count(*) AS n FROM lineitem GROUP BY 1"
+    )
+    sql["concatenate"] = (
+        "SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey FROM customer "
+        "UNION ALL SELECT s_name, s_acctbal, s_nationkey FROM supplier"
+    )
+    sql["unpivot"] = (
+        "WITH a AS (SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price FROM part GROUP BY 1) "
+        "SELECT p_brand, 'min' AS measure, min_price AS price FROM a "
+        "UNION ALL SELECT p_brand, 'max', max_price FROM a"
+    )
+    sql["deduplicate"] = (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders"
+        ") WHERE rn = 1"
+    )
+    sql["sort_topk"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10"
+    )
+    sql["find_replace"] = (
+        "SELECT c_custkey, regexp_replace(regexp_replace(c_name, 'Customer#', 'C-', 'g'), '0+(\\d)', '\\1', 'g') AS c_name FROM customer"
+    )
+    sql["window_tumbling"] = (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
+        "count(*) AS n, round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"
+    )
+    sql["window_sliding"] = (
+        "WITH w AS ("
+        "  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type FROM events "
+        "  UNION ALL "
+        "  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', event_type FROM events"
+        ") SELECT window_start, event_type, count(*) AS n FROM w GROUP BY 1, 2"
+    )
+    sql["window_session"] = (
+        "WITH o AS ("
+        "  SELECT user_id, ts, value, "
+        "         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s "
+        "  FROM events"
+        "), s AS ("
+        "  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o"
+        ") SELECT user_id, min(ts) AS window_start, count(*) AS n_events, round(sum(value), 4) AS total_value "
+        "FROM s GROUP BY user_id, sid"
+    )
+    sql["text_stats"] = (
+        f"SELECT doc_id, "
+        f"CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len(string_split({_NORM}, ' ')) END AS ws_tokens, "
+        f"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens, "
+        f"length(text) AS n_chars_calc, "
+        f"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct "
+        f"FROM documents"
+    )
+    sql["fingerprint"] = (
+        f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
+        f"CAST(concat('0x', substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp_int FROM documents"
+    )
+    sql["lang_id"] = _lang_sql()
+    sql["exact_dedup"] = (
+        f"SELECT doc_id FROM ("
+        f"  SELECT doc_id, row_number() OVER ("
+        f"    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) ORDER BY doc_id"
+        f"  ) AS rn FROM {_DOCS_WITH_DUPS}"
+        f") WHERE rn = 1"
+    )
+    mh = ", ".join(_MINHASH_H.format(i=i) + f" AS h{i}" for i in range(4))
+    sql["minhash_signature"] = (
+        f"WITH g AS (SELECT doc_id, {_grams(_NORM)} AS grams FROM documents) "
+        f"SELECT doc_id, {mh} FROM g"
+    )
+    sql["minhash_lsh_pairs"] = (
+        f"WITH g AS (SELECT doc_id, {_grams('norm')} AS grams FROM "
+        f"  (SELECT doc_id, {_NORM.replace('text', 'text')} AS norm FROM {_DOCS_WITH_DUPS})), "
+        f"sigs AS (SELECT doc_id, {mh} FROM g), "
+        f"bands AS ("
+        f"  SELECT doc_id, 0 AS band, md5(concat(h0, ',', h1)) AS band_hash FROM sigs "
+        f"  UNION ALL SELECT doc_id, 1, md5(concat(h2, ',', h3)) FROM sigs"
+        f") SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b "
+        f"ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+    )
+    sql["jaccard_pairs"] = (
+        f"WITH base AS ("
+        f"  SELECT doc_id AS id, {_grams('norm')} AS grams, (length(norm) // 16)::INT AS band FROM "
+        f"  (SELECT doc_id, {_NORM} AS norm FROM {_DOCS_WITH_DUPS})"
+        f"), pairs AS ("
+        f"  SELECT a.id AS id_a, b.id AS id_b, "
+        f"    CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 1.0 "
+        f"    ELSE len(list_intersect(a.grams, b.grams))::DOUBLE / len(list_distinct(list_concat(a.grams, b.grams))) END AS j "
+        f"  FROM base a JOIN base b ON a.id < b.id AND b.band BETWEEN a.band - 1 AND a.band + 1"
+        f") SELECT id_a, id_b, CAST(floor(j * 1000) AS BIGINT) AS jaccard FROM pairs WHERE j >= 0.9"
+    )
+    sql["ann_cosine_topk"] = (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id FROM embeddings, q "
+        "ORDER BY list_inner_product(embedding::DOUBLE[], qv) / "
+        "(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_inner_product(qv, qv))) DESC, vec_id "
+        "LIMIT 20"
+    )
+    sql["embedding_neardup"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
+    )
+    # simhash (xxhash64) and ann_lsh_topk (numpy hyperplanes) are not
+    # SQL-reproducible → rows-only checks
+    return sql

@@ -1,3 +1,3 @@
-from . import audio
+from . import audio, dedup, multimodal, similarity, text
 
-__all__ = ["audio"]
+__all__ = ["audio", "dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (the 100 TB design):
+
+- exact: hash-groupBy on the md5 fingerprint — one shuffle keyed by a
+  uniform 128-bit hash, no skew by construction.
+- MinHash+LSH: shingle → K md5-derived min-hashes → B bands; candidate
+  pairs come from an equi-join on (band_id, band_hash) — the classic
+  banding trick, so the cross-join never materializes. Signatures are
+  computed with higher-order array expressions (JVM-side).
+- SimHash: 64-bit sign-aggregated token hashes via xxhash64 + bit ops;
+  near-dups = equal simhash bucket (or small Hamming distance within a
+  bucket join).
+- n-gram Jaccard: exact pairwise verification, used downstream of a
+  blocking/banding join — never on the raw cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def char_ngrams(col, n: int = 3) -> Column:
+    """Distinct character n-gram set of the normalized text (JVM-side:
+    sequence + transform + array_distinct)."""
+    t = normalize_text(col)
+    return F.when(F.length(t) < n, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+
+
+def minhash_signature(col, num_hashes: int = 16, ngram: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    int64(md5(shingle || ':' || i)[:15]). md5-based so the DuckDB oracle
+    can reproduce it bit-for-bit."""
+    grams = char_ngrams(col, ngram)
+
+    def h(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(F.concat(g, F.lit(f":{i}"))), 1, 15), 16, 10).cast("bigint"),
+            )
+        )
+
+    return F.array(*[h(i) for i in range(num_hashes)])
+
+
+def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band hashes: array of (band_id, band_hash)
+    structs; equal band_hash within a band → candidate pair."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def simhash64(col) -> Column:
+    """64-bit SimHash over whitespace tokens of the normalized text.
+
+    Per token: xxhash64(token). For each bit position, sum +1/-1 by bit
+    value across tokens; result bit = 1 if sum > 0. Pure higher-order
+    expressions (aggregate over bit positions)."""
+    t = normalize_text(col)
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, " "))
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+
+    def bit_sum(bit: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for bit in range(64):
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(2**63))
+        out = out + F.when(bit_sum(bit) > 0, mask).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level dedup strategies
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text; single
+    shuffle on the uniform fingerprint key."""
+    fp = F.md5(normalize_text(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    length_band: int = 16,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with length-band blocking:
+    only rows whose normalized lengths fall in the same or adjacent band
+    are compared (a near-dup at θ≥0.8 cannot differ much in length)."""
+    t = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(text_col, ngram).alias("grams"),
+        (F.length(t) / length_band).cast("int").alias("band"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("band").alias("band_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.col("band").alias("band_b"))
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("band_b") >= F.col("band_a") - 1)
+        & (F.col("band_b") <= F.col("band_a") + 1),
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("grams_a"), F.col("grams_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding: explode band
+    hashes, self-equi-join on (band, band_hash) — shuffle-join on a
+    uniform key, no cross product."""
+    rows_per_band = num_hashes // num_bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, ngram).alias("sig"),
+    )
+    banded = sig.select("id", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Attach the 64-bit simhash; exact-bucket dedup keeps lowest id per
+    simhash value."""
+    return df.withColumn("simhash", simhash64(text_col))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute-force O(n²) with id<id
+    pruning — correct baseline; the scale path buckets by an LSH
+    hyperplane signature first (see similarity.lsh_bucket)."""
+    from .similarity import cosine_sim
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

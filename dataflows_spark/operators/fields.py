@@ -101,6 +101,10 @@ def _computed_column(op: str, spec: dict, df: DataFrame) -> Column:
     if op == "join":
         delim = spec.get("with", "-")
         return F.concat_ws(delim, *[c.cast("string") for c in src])
+    if op == "expr":
+        # engine extension: arbitrary SQL expression (JVM-side; the
+        # reference routes this through a Python row callable instead)
+        return F.expr(spec.get("with", ""))
     if op == "format":
         # Python "{field}" format string → format_string with positional args
         template = spec.get("with", "")

@@ -1,0 +1,110 @@
+"""Training-data ops: dedup (exact/minhash/simhash/jaccard), similarity
+search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataflows_spark.functions import dedup as ddp
+from dataflows_spark.functions import multimodal as mm
+from dataflows_spark.functions import similarity as sim
+from dataflows_spark.functions import text as txt
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+    (3, "completely different content about spark engines"),
+    (4, "  The  QUICK brown fox jumps over the lazy dog "),  # normalized dup of 0
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = sorted(r["doc_id"] for r in ddp.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [0, 2, 3]  # 1 and 4 collapse into 0
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) in pairs  # one-word edit, high 3-gram overlap
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    cands = {(r["id_a"], r["id_b"]) for r in ddp.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, num_bands=4).collect()}
+    # exact dups always collide in every band
+    assert (0, 1) in cands and (0, 4) in cands
+    assert not any(3 in p for p in cands)
+
+
+def test_simhash_dup_vs_distinct(spark, docs):
+    rows = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", ddp.simhash64("text").alias("sh")).collect()}
+    assert rows[0] == rows[1] == rows[4]
+    h_near = bin(rows[0] ^ rows[2]).count("1")
+    h_far = bin(rows[0] ^ rows[3]).count("1")
+    assert h_near < h_far
+
+
+def test_cosine_topk_exact_and_lsh(spark):
+    rng = np.random.Generator(np.random.Philox(key=[1, 2]))
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    vecs[7] = vecs[0] * 0.9 + 0.01  # near-neighbor of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in sim.cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    assert exact[0] == 0 and 7 in exact[:2]
+    approx = [r["vec_id"] for r in sim.lsh_cosine_topk(df, "embedding", "vec_id", q, k=5, bits=6, probe_hamming=1).collect()]
+    assert approx[0] == 0 and 7 in approx  # identical + near vec share buckets
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in the house!"), (2, ""), (3, "le chat est dans la maison et le chien")],
+        schema="id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        txt.ws_token_count("text").alias("ws"),
+        txt.bpe_ish_token_count("text").alias("bpe"),
+        txt.lang_id("text").alias("lang"),
+        txt.quality_score("text").alias("q"),
+        txt.fingerprint_md5("text").alias("fp"),
+    ).collect()}
+    assert rows[1]["ws"] == 8 and rows[2]["ws"] == 0
+    assert rows[1]["bpe"] == 10  # 8 words + ',' + '!'
+    assert rows[1]["lang"] == "en" and rows[3]["lang"] == "fr"
+    assert rows[2]["q"] < rows[1]["q"]
+    assert len(rows[1]["fp"]) == 32
+
+
+def test_multimodal_stubs(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("c1", b"x" * 4096), ("c2", b"y" * 2048), ("c3", None)],
+        schema="clip_id string, bytes binary",
+    )
+    feats = mm.image_features(df).collect()
+    assert {r["clip_id"]: r["width"] is not None for r in feats} == {"c1": True, "c2": True, "c3": False}
+    # deterministic across runs
+    feats2 = mm.image_features(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    resized = {r["clip_id"]: r["bytes"] for r in mm.resize_images(df, size=(64, 64)).collect()}
+    assert resized["c1"] == hashlib.sha256(b"x" * 4096 + b"64x64").digest()
+
+    frames = mm.sample_video_frames(df, every_n=2).collect()
+    assert all(r["clip_id"] in ("c1", "c2") for r in frames)
+    assert {r["clip_id"] for r in frames} == {"c1", "c2"}
+
+    with pytest.raises(Exception):
+        mm.image_features(df, strict=True).collect()
