@@ -389,13 +389,13 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf, "documents"))
-    sig = ddp.minhash_signature("text", num_hashes=4, ngram=3)
-    return docs.select(
-        "doc_id",
-        F.element_at(sig, 1).alias("h0"),
-        F.element_at(sig, 2).alias("h1"),
-        F.element_at(sig, 3).alias("h2"),
-        F.element_at(sig, 4).alias("h3"),
+    sig = ddp.with_minhash(docs, "text", "doc_id", num_hashes=4, ngram=3)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.element_at("sig", 1).alias("h0"),
+        F.element_at("sig", 2).alias("h1"),
+        F.element_at("sig", 3).alias("h2"),
+        F.element_at("sig", 4).alias("h3"),
     )
 
 
