@@ -435,8 +435,136 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=10, bits=6).select("vec_id")
 
 
+def q_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """The counters aggregator (reference join.py:117-122) rendered as a
+    deterministic string for cross-engine comparison."""
+    df = _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            join_with_self(
+                "lineitem",
+                ["l_returnflag"],
+                {"l_returnflag": None, "status_counts": {"name": "l_linestatus", "aggregate": "counters"}},
+            ),
+        ),
+        spark,
+        "lineitem",
+    )
+    return df.select(
+        "l_returnflag",
+        F.concat_ws(",", F.transform("status_counts", lambda x: F.concat_ws(":", x["value"], x["count"].cast("string")))).alias("status_counts"),
+    )
+
+
+def q_first_last_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last aggregators with explicit stream ordering (SURVEY §7.4
+    item 2): per customer, first/last order priority by order date."""
+    return _one(
+        Flow(
+            load(_t(sf, "orders"), name="orders"),
+            join_with_self(
+                "orders",
+                ["o_custkey"],
+                {
+                    "o_custkey": None,
+                    "first_priority": {"name": "o_orderpriority", "aggregate": "first"},
+                    "last_priority": {"name": "o_orderpriority", "aggregate": "last"},
+                    "first_price": {"name": "o_totalprice", "aggregate": "first"},
+                },
+                ordering=["o_orderdate", "o_orderkey"],
+            ),
+        ),
+        spark,
+        "orders",
+    )
+
+
+def q_array_agg_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """array aggregator with explicit ordering, rendered as a string."""
+    df = _one(
+        Flow(
+            load(_t(sf, "lineitem"), name="lineitem"),
+            filter_rows(condition="l_orderkey < 40"),
+            join_with_self(
+                "lineitem",
+                ["l_orderkey"],
+                {"l_orderkey": None, "qtys": {"name": "l_quantity", "aggregate": "array"}},
+                ordering=["l_linenumber"],
+            ),
+        ),
+        spark,
+        "lineitem",
+    )
+    return df.select("l_orderkey", F.concat_ws(",", F.transform("qtys", lambda x: x.cast("string"))).alias("qtys"))
+
+
+def _mixed_numeric_col():
+    # deterministic mixed string column: numeric for 2 of 3 rows
+    return F.when(F.col("c_custkey") % 3 == 0, F.lit("notanumber")).otherwise(
+        F.col("c_custkey").cast("string")
+    )
+
+
+def q_set_type_drop(spark: SparkSession, sf: str) -> DataFrame:
+    from dataflows_spark import set_type
+
+    pkg = Flow(load(_t(sf, "customer"), name="customer")).dataframes(spark)
+    pkg["customer"] = pkg["customer"].withColumn("mixed", _mixed_numeric_col())
+    flow = Flow(
+        set_type("mixed", type="integer", on_error="drop"),
+        select_fields(["c_custkey", "mixed"], regex=False),
+    )
+    return flow._run(__import__("dataflows_spark").Context(spark), pkg)["customer"]
+
+
+def q_set_type_clear(spark: SparkSession, sf: str) -> DataFrame:
+    from dataflows_spark import set_type
+
+    pkg = Flow(load(_t(sf, "customer"), name="customer")).dataframes(spark)
+    pkg["customer"] = pkg["customer"].withColumn("mixed", _mixed_numeric_col())
+    flow = Flow(
+        set_type("mixed", type="integer", on_error="clear"),
+        select_fields(["c_custkey", "mixed"], regex=False),
+    )
+    return flow._run(__import__("dataflows_spark").Context(spark), pkg)["customer"]
+
+
+def q_rename_add_fields(spark: SparkSession, sf: str) -> DataFrame:
+    from dataflows_spark import add_field, rename_fields
+
+    return _one(
+        Flow(
+            load(_t(sf, "nation"), name="nation"),
+            rename_fields({r"n_(.*)": r"nation_\1"}),
+            add_field("source", "string", "tpch"),
+        ),
+        spark,
+        "nation",
+    )
+
+
+def q_validate_drop(spark: SparkSession, sf: str) -> DataFrame:
+    from dataflows_spark import validate
+
+    return _one(
+        Flow(
+            load(_t(sf, "supplier"), name="supplier"),
+            validate("s_acctbal", F.col("s_acctbal") > 0, on_error="drop"),
+        ),
+        spark,
+        "supplier",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "counters": q_counters,
+        "first_last_ordered": q_first_last_ordered,
+        "array_agg_ordered": q_array_agg_ordered,
+        "set_type_drop": q_set_type_drop,
+        "set_type_clear": q_set_type_clear,
+        "rename_add_fields": q_rename_add_fields,
+        "validate_drop": q_validate_drop,
         "filter_select": q_filter_select,
         "computed_field": q_computed_field,
         "join_agg": q_join_agg,
@@ -525,6 +653,39 @@ def _lang_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["counters"] = (
+        "WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2) "
+        "SELECT l_returnflag, string_agg(l_linestatus || ':' || cnt, ',' ORDER BY cnt DESC, l_linestatus) AS status_counts "
+        "FROM c GROUP BY 1"
+    )
+    sql["first_last_ordered"] = (
+        "SELECT DISTINCT o_custkey, "
+        "first_value(o_orderpriority) OVER w AS first_priority, "
+        "last_value(o_orderpriority) OVER w AS last_priority, "
+        "first_value(o_totalprice) OVER w AS first_price "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    sql["array_agg_ordered"] = (
+        # engine sorts by (ordering, value) — struct sort tie-breaks on the
+        # value, deterministically; mirror that here
+        "SELECT l_orderkey, array_to_string(list(l_quantity ORDER BY l_linenumber, l_quantity), ',') AS qtys "
+        "FROM lineitem WHERE l_orderkey < 40 GROUP BY 1"
+    )
+    _mixed = (
+        "(SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 'notanumber' "
+        "ELSE CAST(c_custkey AS VARCHAR) END AS mixed FROM customer)"
+    )
+    sql["set_type_drop"] = (
+        f"SELECT c_custkey, TRY_CAST(mixed AS BIGINT) AS mixed FROM {_mixed} "
+        f"WHERE TRY_CAST(mixed AS BIGINT) IS NOT NULL"
+    )
+    sql["set_type_clear"] = f"SELECT c_custkey, TRY_CAST(mixed AS BIGINT) AS mixed FROM {_mixed}"
+    sql["rename_add_fields"] = (
+        "SELECT n_nationkey AS nation_nationkey, n_name AS nation_name, "
+        "n_regionkey AS nation_regionkey, 'tpch' AS source FROM nation"
+    )
+    sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
     sql["filter_select"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
         "WHERE l_quantity > 45 AND l_discount < 0.02"

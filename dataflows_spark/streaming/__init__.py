@@ -1,9 +1,23 @@
 from .join import stream_stream_join
 from .listener import LineageListener
 from .sink import ExactlyOnceParquetSink, KeyedMergeSink, start_exactly_once_query
+from .stages import (
+    dump_stream,
+    load_stream,
+    stream_deduplicate,
+    stream_join,
+    watermark,
+    window_agg,
+)
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
+    "dump_stream",
+    "load_stream",
+    "stream_deduplicate",
+    "stream_join",
+    "watermark",
+    "window_agg",
     "ExactlyOnceParquetSink",
     "KeyedMergeSink",
     "LineageListener",

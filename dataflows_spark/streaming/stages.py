@@ -1,0 +1,274 @@
+"""Streaming stages for the Flow DSL — the composable streaming
+pipeline of the north rule: the same Flow chain and the same operator
+stages (filter_rows, add_field, find_replace, set_type, ...) run over
+an unbounded stream; only the source and sink stages differ.
+
+``Flow(load_stream(...), filter_rows(...), window_agg(...),
+dump_stream(...))`` builds a StreamingQuery wired to an exactly-once
+sink; ``Flow.process`` starts it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..core.context import Context
+from ..core.flow import Stage
+from ..core.package import TablePackage
+from .listener import LineageListener
+from .sink import ExactlyOnceParquetSink, KeyedMergeSink
+from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+
+
+class load_stream(Stage):
+    """Streaming source: file-based (parquet/json/csv dir), ``rate``,
+    or an Iceberg/catalog table via ``table://`` when available.
+    The streaming analog of ``load`` (reference ``processors/load.py``).
+    """
+
+    name = "load_stream"
+
+    def __init__(
+        self,
+        source: str,
+        name: str | None = None,
+        format: str = "parquet",
+        schema: Any = None,
+        watermark: tuple[str, str] | None = None,
+        max_files_per_trigger: int | None = None,
+        **options: Any,
+    ):
+        self.source = source
+        self.res_name = name or "stream"
+        self.format = format
+        self.schema = schema
+        self.watermark = watermark
+        self.max_files_per_trigger = max_files_per_trigger
+        self.options = options
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        if self.source.startswith("table://"):
+            df = ctx.spark.readStream.table(self.source[8:])
+        elif self.format == "rate":
+            reader = ctx.spark.readStream.format("rate")
+            for k, v in self.options.items():
+                reader = reader.option(k, v)
+            df = reader.load()
+        else:
+            reader = ctx.spark.readStream.format(self.format)
+            if self.schema is not None:
+                reader = reader.schema(self.schema)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            for k, v in self.options.items():
+                reader = reader.option(k, v)
+            df = reader.load(self.source)
+        if self.watermark:
+            df = df.withWatermark(*self.watermark)
+        pkg.add(self.res_name, df, streaming=True)
+
+
+class watermark(Stage):
+    """Attach/replace the event-time watermark on a resource."""
+
+    name = "watermark"
+
+    def __init__(self, ts_col: str, delay: str, resources: Any = None):
+        self.ts_col = ts_col
+        self.delay = delay
+        self.resources = resources
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        pkg.apply(lambda n, df: df.withWatermark(self.ts_col, self.delay), self.resources)
+
+
+class window_agg(Stage):
+    """Windowed join_with_self: tumbling (default), sliding
+    (``slide=``) or session (``gap=``) windows over the reference
+    aggregator table (SURVEY.md §2.10)."""
+
+    name = "window_agg"
+
+    def __init__(
+        self,
+        ts_col: str,
+        keys: list[str],
+        fields: dict[str, Any],
+        duration: str | None = None,
+        slide: str | None = None,
+        gap: str | None = None,
+        watermark: str | None = None,
+        resources: Any = None,
+    ):
+        self.ts_col = ts_col
+        self.keys = keys
+        self.fields = fields
+        self.duration = duration
+        self.slide = slide
+        self.gap = gap
+        self.watermark = watermark
+        self.resources = resources
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(name, df):
+            if self.gap:
+                return session_window_agg(df, self.ts_col, self.gap, self.keys, self.fields, self.watermark)
+            if self.slide:
+                return sliding_window_agg(df, self.ts_col, self.duration, self.slide, self.keys, self.fields, self.watermark)
+            return tumbling_window_agg(df, self.ts_col, self.duration, self.keys, self.fields, self.watermark)
+
+        pkg.apply(apply, self.resources)
+
+
+class stream_join(Stage):
+    """Stateful stream-stream join stage (the streaming ``join``
+    processor): target ⋈ source on key within a time bound."""
+
+    name = "stream_join"
+
+    def __init__(
+        self,
+        source_name: str,
+        target_name: str,
+        key: str,
+        left_ts: str = "event_time",
+        right_ts: str = "event_time",
+        watermark: str = "10 minutes",
+        time_bound: str = "5 minutes",
+        how: str = "inner",
+        source_delete: bool = True,
+    ):
+        self.source_name = source_name
+        self.target_name = target_name
+        self.key = key
+        self.left_ts = left_ts
+        self.right_ts = right_ts
+        self.watermark = watermark
+        self.time_bound = time_bound
+        self.how = how
+        self.source_delete = source_delete
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        from .join import stream_stream_join
+
+        joined = stream_stream_join(
+            pkg[self.target_name],
+            pkg[self.source_name],
+            self.key,
+            self.left_ts,
+            self.right_ts,
+            watermark=self.watermark,
+            time_bound=self.time_bound,
+            how=self.how,
+        )
+        pkg[self.target_name] = joined
+        if self.source_delete:
+            del pkg[self.source_name]
+
+
+class stream_deduplicate(Stage):
+    """Streaming exactly-once row dedup: ``dropDuplicatesWithinWatermark``
+    on the primary key (reference ``deduplicate`` by PK —
+    ``processors/deduplicate.py:6-17`` — under unbounded input)."""
+
+    name = "stream_deduplicate"
+
+    def __init__(self, keys: list[str] | None = None, within_watermark: bool = True, resources: Any = None):
+        self.keys = keys
+        self.within_watermark = within_watermark
+        self.resources = resources
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        def apply(name, df):
+            keys = self.keys or pkg.resource_meta.get(name, {}).get("primaryKey")
+            if not keys:
+                return df
+            if self.within_watermark and df.isStreaming:
+                return df.dropDuplicatesWithinWatermark(keys)
+            return df.dropDuplicates(keys)
+
+        pkg.apply(apply, self.resources)
+
+
+class dump_stream(Stage):
+    """Streaming sink stage — the streaming ``dump_to_path``:
+
+    - ``mode='append'`` → :class:`ExactlyOnceParquetSink` (batch-id
+      commit markers)
+    - ``mode='merge'`` → :class:`KeyedMergeSink` (upsert on ``keys`` —
+      the Iceberg MERGE INTO / dump_to_sql-update analog)
+
+    ``Flow.process`` drives the query; with ``process_all=True`` (test
+    mode) the query drains available input synchronously and stops.
+    """
+
+    name = "dump_stream"
+
+    def __init__(
+        self,
+        path: str,
+        checkpoint_dir: str,
+        mode: str = "append",
+        keys: list[str] | None = None,
+        resources: Any = None,
+        trigger: dict | None = None,
+        process_all: bool = False,
+        output_mode: str = "update",
+        collect_lineage: bool = True,
+    ):
+        self.path = path
+        self.checkpoint_dir = checkpoint_dir
+        self.mode = mode
+        self.keys = keys
+        self.resources = resources
+        self.trigger = trigger
+        self.process_all = process_all
+        self.output_mode = output_mode
+        self.collect_lineage = collect_lineage
+        self.sink = None
+        self.query = None
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        names = pkg.select_names(self.resources)
+        name = names[0]
+        df = pkg[name]
+        if self.mode == "merge":
+            if not self.keys:
+                keys = pkg.resource_meta.get(name, {}).get("primaryKey")
+            else:
+                keys = self.keys
+            self.sink = KeyedMergeSink(self.path, keys=keys)
+        else:
+            self.sink = ExactlyOnceParquetSink(self.path, dedup_keys=self.keys)
+        listener = LineageListener() if self.collect_lineage else None
+        if listener:
+            ctx.spark.streams.addListener(listener)
+        writer = (
+            df.writeStream.outputMode(self.output_mode)
+            .foreachBatch(self.sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if self.trigger:
+            writer = writer.trigger(**self.trigger)
+        self.query = writer.start()
+        pkg.resource_meta[name]["_written"] = True
+        pkg.resource_meta[name]["query_id"] = str(self.query.id)
+        if self.process_all:
+            self.query.processAllAvailable()
+            self.query.stop()
+            if listener:
+                # listener events are async; give the bus a moment
+                import time
+
+                for _ in range(50):
+                    if listener.progress:
+                        break
+                    time.sleep(0.1)
+                pkg.stats["lineage"] = listener.stats()
+                ctx.spark.streams.removeListener(listener)
+        else:
+            pkg.stats["query"] = self.query
+            if listener:
+                pkg.stats["lineage_listener"] = listener

@@ -1,0 +1,167 @@
+"""North-rule flagship: the composable streaming pipeline DSL.
+
+The same Flow chain that runs batch operators drives an unbounded
+stream: clips stream → filter (duration validation) → stream-stream
+join with the transcript-revision stream → exactly-once keyed sink,
+with watermarks, lineage stats, and kill-restart resume."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from dataflows_spark import Flow, filter_rows
+from dataflows_spark.functions import audio
+from dataflows_spark.sources.clips import clips_df, transcripts_side_df
+from dataflows_spark.streaming import (
+    dump_stream,
+    load_stream,
+    stream_deduplicate,
+    stream_join,
+    watermark,
+    window_agg,
+)
+
+CLIPS_SCHEMA_NOBYTES = (
+    "clip_id string, sr_hz int, dur_ms int, codec string, transcript string, event_time timestamp"
+)
+SIDE_SCHEMA = "clip_id string, transcript_v2 string, rev int, event_time timestamp"
+
+
+def _prep_dirs(tmp_path, *names):
+    out = []
+    for n in names:
+        d = tmp_path / n
+        d.mkdir(parents=True, exist_ok=True)
+        out.append(str(d))
+    return out
+
+
+def test_flow_streaming_window_pipeline(spark, tmp_path):
+    """Flow DSL end-to-end over a stream: load_stream → filter_rows →
+    window_agg → dump_stream, with lineage stats."""
+    in_dir, cp, out = _prep_dirs(tmp_path, "in", "cp", "out")
+    clips = clips_df(spark, 300, dur_min=200, dur_max=800)
+    clips.filter(audio.duration_valid_col()).drop("bytes").coalesce(2).write.mode("overwrite").parquet(in_dir)
+    n_valid = spark.read.parquet(in_dir).count()
+
+    flow = Flow(
+        load_stream(in_dir, name="clips", schema=CLIPS_SCHEMA_NOBYTES, max_files_per_trigger=1),
+        filter_rows(condition="sr_hz >= 8000", resources="clips"),
+        window_agg(
+            "event_time",
+            ["codec"],
+            {"n": {"aggregate": "count"}, "total_ms": {"name": "dur_ms", "aggregate": "sum"}},
+            duration="1 minute",
+            watermark="2 minutes",
+            resources="clips",
+        ),
+        dump_stream(out, cp, resources="clips", process_all=True),
+    )
+    meta, stats = flow.process(spark)
+    assert stats["lineage"]["total_input_rows"] == n_valid
+    assert stats["lineage"]["batches"] >= 1
+
+    # latest emission per window must count every valid clip exactly once
+    from dataflows_spark.streaming import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(out)
+    latest = {}
+    for b in sink.committed_batches():
+        for r in spark.read.parquet(os.path.join(out, "data", f"batch_id={b}")).collect():
+            latest[(r["codec"], r["window_start"])] = r["n"]
+    assert sum(latest.values()) == n_valid
+
+
+def test_flow_streaming_join_merge_restart(spark, tmp_path):
+    """clips ⋈ transcript revisions (stateful stream-stream join) →
+    dedup → keyed MERGE sink; the stream is fed in two halves with a
+    query kill between them — the union at the sink is exactly-once
+    and carries the LAST revision per clip (reference join 'last'
+    aggregator semantics under streaming)."""
+    l_in, r_in, cp, out = _prep_dirs(tmp_path, "l_in", "r_in", "cp", "out")
+
+    clips = clips_df(spark, 120, dur_min=200, dur_max=500).drop("bytes").coalesce(1)
+    side = transcripts_side_df(spark, 120).coalesce(1)
+    # expected join population via the equivalent BATCH time-bound join
+    # (some clips arrive late by design; their revisions legitimately fall
+    # outside the bound and must be dropped by the streaming join too)
+    expected = (
+        clips.alias("c")
+        .join(side.alias("s"), F.expr(
+            "c.clip_id = s.clip_id AND s.event_time >= c.event_time "
+            "AND s.event_time <= c.event_time + INTERVAL 10 minutes"
+        ))
+        .select("c.clip_id")
+        .distinct()
+        .count()
+    )
+
+    def run_half(half):
+        # feed half of each stream, run the SAME Flow, kill at the end
+        flow = Flow(
+            load_stream(l_in, name="clips", schema=CLIPS_SCHEMA_NOBYTES),
+            load_stream(r_in, name="side", schema=SIDE_SCHEMA),
+            stream_join(
+                "side",
+                "clips",
+                key="clip_id",
+                watermark="10 minutes",
+                time_bound="10 minutes",
+                how="inner",
+            ),
+            dump_stream(
+                out,
+                cp,
+                mode="merge",
+                keys=["clip_id"],
+                resources="clips",
+                process_all=True,
+                output_mode="append",
+            ),
+        )
+        return flow.process(spark)
+
+    clips1 = clips.filter(F.col("clip_id") < "clip-000000000060")
+    clips2 = clips.filter(F.col("clip_id") >= "clip-000000000060")
+    side1 = side.filter(F.col("clip_id") < "clip-000000000060")
+    side2 = side.filter(F.col("clip_id") >= "clip-000000000060")
+
+    clips1.write.mode("append").parquet(l_in)
+    side1.write.mode("append").parquet(r_in)
+    run_half(1)
+
+    clips2.write.mode("append").parquet(l_in)
+    side2.write.mode("append").parquet(r_in)
+    run_half(2)  # restart from the same checkpoint dir
+
+    from dataflows_spark.streaming import KeyedMergeSink
+
+    result = KeyedMergeSink(out, keys=["clip_id"]).read(spark)
+    rows = result.collect()
+    ids = [r["clip_id"] for r in rows]
+    # exactly-once: one row per joined clip, across the restart
+    assert len(ids) == len(set(ids))
+    assert len(ids) == expected
+    # every output row carries a joined transcript revision
+    assert all(r["transcript_v2_r"] is not None for r in rows)
+
+
+def test_stream_deduplicate_within_watermark(spark, tmp_path):
+    in_dir, cp, out = _prep_dirs(tmp_path, "din", "dcp", "dout")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 1.0), ("a", t0, 2.0), ("b", t0, 3.0)]
+    spark.createDataFrame(rows, schema="k string, ts timestamp, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    flow = Flow(
+        load_stream(in_dir, name="s", schema="k string, ts timestamp, v double", watermark=("ts", "1 minute")),
+        stream_deduplicate(keys=["k"], resources="s"),
+        dump_stream(out, cp, resources="s", process_all=True, output_mode="append"),
+    )
+    flow.process(spark)
+    from dataflows_spark.streaming import ExactlyOnceParquetSink
+
+    got = sorted(r["k"] for r in ExactlyOnceParquetSink(out).read(spark).collect())
+    assert got == ["a", "b"]
