@@ -166,7 +166,13 @@ class sources(Stage):
             sub = fl if isinstance(fl, Flow) else Flow(fl)
             sub_pkg = sub._run(ctx, TablePackage())
             for name, df in sub_pkg.items():
-                pkg.add(name, df, **sub_pkg.resource_meta.get(name, {}))
+                # sub-flows number their resources independently; re-number
+                # auto-named collisions into the merged package
+                out_name, i = name, len(pkg)
+                while out_name in pkg:
+                    i += 1
+                    out_name = f"res_{i}"
+                pkg.add(out_name, df, **sub_pkg.resource_meta.get(name, {}))
 
 
 class unstream(Stage):
