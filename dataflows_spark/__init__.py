@@ -9,6 +9,13 @@ Streaming checkpoints and idempotent keyed sinks.
 """
 
 from .core import Context, Flow, ProcessorError, Stage, TablePackage, build_session
+
+# load the submodules BEFORE the star import: the `sources` OPERATOR
+# (reference processors/sources.py) shares its name with the `sources/`
+# submodule; importing the submodule here pins it in sys.modules so later
+# `import dataflows_spark.sources.clips` does not rebind (shadow) the
+# operator on this package
+from . import functions, sources as _sources_module, streaming  # noqa: F401
 from . import operators as ops
 from .operators import *  # noqa: F401,F403 — re-export the processor inventory
 
