@@ -556,8 +556,21 @@ def q_validate_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_set_type_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal set_type with a reference-style strptime format."""
+    from dataflows_spark import Context, set_type
+
+    pkg = Flow(load(_t(sf, "orders"), name="orders")).dataframes(spark)
+    pkg["orders"] = pkg["orders"].select(
+        "o_orderkey", F.date_format("o_orderdate", "dd/MM/yyyy").alias("d")
+    )
+    flow = Flow(set_type("d", type="date", format="%d/%m/%Y"))
+    return flow._run(Context(spark), pkg)["orders"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "set_type_date": q_set_type_date,
         "counters": q_counters,
         "first_last_ordered": q_first_last_ordered,
         "array_agg_ordered": q_array_agg_ordered,
@@ -653,6 +666,9 @@ def _lang_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["set_type_date"] = (
+        "SELECT o_orderkey, CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d FROM orders"
+    )
     sql["counters"] = (
         "WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2) "
         "SELECT l_returnflag, string_agg(l_linestatus || ':' || cnt, ',' ORDER BY cnt DESC, l_linestatus) AS status_counts "

@@ -62,29 +62,82 @@ class find_replace(Stage):
         pkg.apply(apply, self.resources)
 
 
-def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None):
+# strptime directive → Spark datetime pattern (reference temporal formats:
+# tableschema field format '%d/%m/%Y' etc., tests/test_lib.py:2025)
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%j": "DDD",
+    "%p": "a",
+    "%z": "XX",
+    "%%": "%",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            out.append(_STRPTIME_TO_SPARK.get(d, d))
+            i += 2
+        else:
+            # literal chars that are pattern letters in Spark need quoting
+            c = fmt[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
+def _temporal_cast(col: str, dtype: str, fmt: str | None):
+    """Parse expression for date/datetime with an optional reference-style
+    strptime format."""
+    c = F.col(col)
+    if fmt in (None, "any", "default"):
+        return None
+    spark_fmt = strptime_to_spark(fmt)
+    # try_* variants: null on parse failure (ANSI mode is Spark 4's
+    # default, where the plain functions would throw)
+    if dtype == "date":
+        return F.try_to_timestamp(c.cast("string"), F.lit(spark_fmt)).try_cast("date")
+    if dtype == "datetime":
+        return F.try_to_timestamp(c.cast("string"), F.lit(spark_fmt))
+    return None
+
+
+def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None, parse_expr=None):
     """Cast a column with reference error semantics
-    (``schema_validator.py:23-50``)."""
+    (``schema_validator.py:23-50``). ``parse_expr`` overrides the
+    try_cast (temporal formats — returns null on parse failure, same
+    failure contract)."""
     on_error = on_error or RAISE
     target = spark_type(dtype)
+    casted = parse_expr if parse_expr is not None else F.col(col).try_cast(target)
     if on_error == DROP:
         # drop rows whose non-null value fails the cast
-        casted = F.col(col).try_cast(target)
         bad = F.col(col).isNotNull() & casted.isNull()
         return df.filter(~bad).withColumn(col, casted)
     if on_error == CLEAR:
-        return df.withColumn(col, F.col(col).try_cast(target))
+        return df.withColumn(col, casted)
     if on_error == IGNORE:
         # keep original value/type untouched on failure — mixed types are
         # unrepresentable in a static column, so keep string form
-        casted = F.col(col).try_cast(target)
         return df.withColumn(
             col,
             F.when(casted.isNotNull() | F.col(col).isNull(), casted.cast("string"))
             .otherwise(F.col(col).cast("string")),
         )
-    # RAISE: use try_cast then assert_true so failures surface at action
-    casted = F.col(col).try_cast(target)
+    # RAISE: failures surface at action time via assert_true
     guard = F.assert_true(
         F.col(col).isNull() | casted.isNotNull(),
         F.concat(F.lit(f"set_type({col}→{dtype}) failed for value: "), F.col(col).cast("string")),
@@ -115,6 +168,7 @@ class set_type(Stage):
         self.on_error = on_error
         self.transform = transform
         self.type = type
+        self.format = options.get("format")
 
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         def apply(rname, df):
@@ -147,7 +201,8 @@ class set_type(Stage):
                     p.add(rname, df.withColumn(c, F.col(c).cast("string")))
                     row_mapper(txrow).process(ctx, p)
                     df = p[rname]
-                df = _cast_with_on_error(df, c, self.type, self.on_error)
+                parse = _temporal_cast(c, self.type, self.format)
+                df = _cast_with_on_error(df, c, self.type, self.on_error, parse_expr=parse)
             return df
 
         pkg.apply(apply, self.resources)

@@ -143,3 +143,27 @@ def test_processor_error_position(spark):
     with pytest.raises(ProcessorError) as ei:
         Flow(DATA, boom).results(spark)
     assert ei.value.processor_position >= 1
+
+
+def test_set_type_temporal_format(spark):
+    # reference temporal fixture semantics (tests/test_lib.py:2025):
+    # custom strptime formats parse into date/datetime
+    import datetime as dt
+
+    data = [{"d": "05/03/2021", "t": "2021-03-05 14:30:00"}]
+    results, _, _ = Flow(
+        data,
+        set_type("d", type="date", format="%d/%m/%Y"),
+        set_type("t", type="datetime", format="%Y-%m-%d %H:%M:%S"),
+    ).results(spark)
+    row = results[0][0]
+    assert row["d"] == dt.date(2021, 3, 5)
+    assert row["t"] == dt.datetime(2021, 3, 5, 14, 30)
+
+
+def test_set_type_temporal_bad_format_drop(spark):
+    data = [{"d": "05/03/2021"}, {"d": "not-a-date"}]
+    results, _, _ = Flow(
+        data, set_type("d", type="date", format="%d/%m/%Y", on_error="drop")
+    ).results(spark)
+    assert len(results[0]) == 1
