@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the optimizations that make the
+engine scale must not silently disappear (SURVEY §4, PLANS.md)."""
+
+from pyspark.sql import functions as F
+
+from dataflows_spark import Flow, filter_rows, join, load, select_fields
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    pkg = Flow(
+        load(f"{SF}/lineitem.parquet", name="l"),
+        filter_rows(condition="l_quantity > 45"),
+        select_fields(["l_orderkey", "l_quantity"], regex=False),
+    ).dataframes(spark)
+    plan = _plan(pkg["l"])
+    assert "GreaterThan(l_quantity,45.0)" in plan  # predicate reached the scan
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan.replace(" ", "")  # pruned
+
+
+def test_join_agg_broadcasts_small_side(spark):
+    pkg = Flow(
+        load(f"{SF}/orders.parquet", name="orders"),
+        load(f"{SF}/customer.parquet", name="customer"),
+        join("orders", ["o_custkey"], "customer", ["c_custkey"], {"n": {"aggregate": "count"}}, mode="inner"),
+    ).dataframes(spark)
+    plan = _plan(pkg["customer"])
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one hash-partition exchange (the groupBy); the join itself
+    # must not shuffle the probe side
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_duration_validation_is_jvm_only(spark):
+    from dataflows_spark.functions import audio
+    from dataflows_spark.sources.clips import clips_df
+
+    df = clips_df(spark, 10, dur_min=200, dur_max=400).filter(audio.duration_valid_col())
+    # everything after the generator stage is pure Catalyst — exactly the
+    # one mapInPandas (the generator itself), no ArrowEvalPython stages
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan
+
+
+def test_fused_decode_single_python_stage(spark):
+    from dataflows_spark.functions import audio
+    from dataflows_spark.sources.clips import clips_df
+
+    df = (
+        clips_df(spark, 10, dur_min=200, dur_max=400)
+        .withColumn("st", audio.decode_stats("bytes", "codec"))
+        .select("clip_id", "st.rms", "st.zcr", "st.n_samples")
+    )
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1  # fused: one Python stage total

@@ -202,3 +202,33 @@ def test_checkpoint_kill_restart_exactly_once(spark, tmp_path):
             latest[(r["k"], r["window_start"])] = r["n"]
     assert sum(latest.values()) == 20
     assert all(v == 5 for v in latest.values())
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows on an actual streaming query (not just batch
+    semantics): gap-merged sessions emitted after watermark passes."""
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "sess")
+    schema = "k string, ts timestamp, v double"
+    rows = [
+        ("a", TS(2024, 1, 1, 0, 0), 1.0),
+        ("a", TS(2024, 1, 1, 0, 1), 2.0),   # merges with previous (gap 2m)
+        ("a", TS(2024, 1, 1, 0, 10), 4.0),  # new session
+        ("b", TS(2024, 1, 1, 0, 0, 30), 8.0),
+        # watermark pusher so sessions close:
+        ("z", TS(2024, 1, 1, 2, 0), 0.0),
+    ]
+    _write_batch(spark, rows, schema, in_dir, "s1")
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = session_window_agg(
+        stream, "ts", "2 minutes", ["k"],
+        {"n": {"aggregate": "count"}, "total": {"name": "v", "aggregate": "sum"}},
+        watermark="5 minutes",
+    )
+    sink = ExactlyOnceParquetSink(out)
+    q = agg.writeStream.outputMode("append").foreachBatch(sink).option("checkpointLocation", cp).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["k"], r["window_start"].minute): (r["n"], r["total"]) for r in sink.read(spark).collect()}
+    assert got[("a", 0)] == (2, 3.0)
+    assert got[("a", 10)] == (1, 4.0)
+    assert got[("b", 0)] == (1, 8.0)
