@@ -242,9 +242,6 @@ class dump_stream(Stage):
             self.sink = KeyedMergeSink(self.path, keys=keys)
         else:
             self.sink = ExactlyOnceParquetSink(self.path, dedup_keys=self.keys)
-        listener = LineageListener() if self.collect_lineage else None
-        if listener:
-            ctx.spark.streams.addListener(listener)
         writer = (
             df.writeStream.outputMode(self.output_mode)
             .foreachBatch(self.sink)
@@ -257,18 +254,44 @@ class dump_stream(Stage):
         pkg.resource_meta[name]["query_id"] = str(self.query.id)
         if self.process_all:
             self.query.processAllAvailable()
-            self.query.stop()
-            if listener:
-                # listener events are async; give the bus a moment
-                import time
+            if self.collect_lineage:
+                # recentProgress is attached to the query — no listener-bus
+                # race; same fields as LineageListener captures
+                import json as _json
 
-                for _ in range(50):
-                    if listener.progress:
-                        break
-                    time.sleep(0.1)
-                pkg.stats["lineage"] = listener.stats()
-                ctx.spark.streams.removeListener(listener)
+                progress = [_json.loads(p.json) for p in self.query.recentProgress]
+                pkg.stats["lineage"] = _lineage_stats(progress)
+            self.query.stop()
         else:
             pkg.stats["query"] = self.query
-            if listener:
-                pkg.stats["lineage_listener"] = listener
+
+
+def _lineage_stats(progress: list[dict]) -> dict:
+    total_rows = sum(int(p.get("numInputRows") or 0) for p in progress)
+    dropped = sum(
+        int(s.get("numRowsDroppedByWatermark") or 0)
+        for p in progress
+        for s in (p.get("stateOperators") or [])
+    )
+    return {
+        "batches": len(progress),
+        "total_input_rows": total_rows,
+        "rows_dropped_by_watermark": dropped,
+        "per_batch": [
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "sources": [
+                    {
+                        "description": s.get("description"),
+                        "startOffset": s.get("startOffset"),
+                        "endOffset": s.get("endOffset"),
+                        "numInputRows": s.get("numInputRows"),
+                    }
+                    for s in (p.get("sources") or [])
+                ],
+                "stateOperators": p.get("stateOperators"),
+            }
+            for p in progress
+        ],
+    }
