@@ -568,8 +568,23 @@ def q_set_type_date(spark: SparkSession, sf: str) -> DataFrame:
     return flow._run(Context(spark), pkg)["orders"]
 
 
+def _with_utc(fn: Callable) -> Callable:
+    """Pin the session timezone for oracle comparability regardless of
+    the harness session's defaults."""
+
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _with_utc(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "set_type_date": q_set_type_date,
         "counters": q_counters,
         "first_last_ordered": q_first_last_ordered,
@@ -602,8 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
-        "ann_lsh_topk": q_ann_lsh_topk,
-    }
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
 
 
 # ---------------------------------------------------------------------------

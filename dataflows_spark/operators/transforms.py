@@ -213,9 +213,14 @@ class validate(Stage):
     re-cast all fields per current schema (a no-op here since Spark
     schemas are always enforced); with a callable, keep rows satisfying
     it; with ``(field, validator)``, keep rows whose field passes.
-    ``on_error='drop'`` drops failures (default raises)."""
+    ``on_error='drop'`` drops failures (default raises);
+    ``on_error='quarantine'`` routes failures to a side resource
+    ``<name>__invalid`` (the per-row error routing of the reference's
+    ``schema_validator`` re-expressed as a split — SURVEY §2.3)."""
 
     name = "validate"
+
+    QUARANTINE = "quarantine"
 
     def __init__(self, *args: Any, resources: Any = None, on_error: str | None = None):
         self.args = args
@@ -247,6 +252,9 @@ class validate(Stage):
                 pred = validator  # a Column predicate
             if pred is not None:
                 if self.on_error == DROP:
+                    return df.filter(pred)
+                if self.on_error == self.QUARANTINE:
+                    pkg.add(f"{name}__invalid", df.filter(~pred | pred.isNull()))
                     return df.filter(pred)
                 guard = F.assert_true(pred, F.lit("validate failed"))
                 return df.withColumn("__v", guard).drop("__v")

@@ -167,3 +167,33 @@ def test_set_type_temporal_bad_format_drop(spark):
         data, set_type("d", type="date", format="%d/%m/%Y", on_error="drop")
     ).results(spark)
     assert len(results[0]) == 1
+
+
+def test_validate_quarantine_splits_invalid(spark):
+    from dataflows_spark import validate
+    from pyspark.sql import functions as F
+
+    data = [{"x": 1}, {"x": -5}, {"x": 3}]
+    res, meta, _ = Flow(
+        data, validate("x", F.col("x") > 0, on_error="quarantine")
+    ).results(spark)
+    valid, invalid = res
+    assert sorted(r["x"] for r in valid) == [1, 3]
+    assert [r["x"] for r in invalid] == [-5]
+
+
+def test_validate_quarantine_audio_duration(spark):
+    # north-rule flavor: invalid-duration clips routed to a side resource
+    from dataflows_spark import validate
+    from dataflows_spark.functions import audio
+    from dataflows_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 200, dur_min=200, dur_max=800)
+    pkg_flow = Flow(
+        clips,
+        validate("dur", audio.duration_valid_col(), on_error="quarantine"),
+    )
+    pkg = pkg_flow.dataframes(spark)
+    n_ok = pkg["res_1"].count()
+    n_bad = pkg["res_1__invalid"].count()
+    assert n_ok + n_bad == 200 and 0 < n_bad < 10

@@ -232,3 +232,43 @@ def test_streaming_session_window(spark, tmp_path):
     assert got[("a", 0)] == (2, 3.0)
     assert got[("a", 10)] == (1, 4.0)
     assert got[("b", 0)] == (1, 8.0)
+
+
+def test_stateful_revision_coalescer(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-clip
+    revision state accumulates across micro-batches and emits the
+    highest revision on processing-time timeout."""
+    import time
+
+    from dataflows_spark.streaming.stateful import latest_revision_coalescer
+
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "state")
+    schema = "clip_id string, transcript_v2 string, rev int, event_time timestamp"
+    t0 = TS(2024, 1, 1)
+    _write_batch(spark, [("c1", "v one", 1, t0), ("c2", "w one", 1, t0)], schema, in_dir, "b1")
+    _write_batch(spark, [("c1", "v two", 2, t0)], schema, in_dir, "b2")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    coalesced = latest_revision_coalescer(stream)
+    sink = ExactlyOnceParquetSink(out)
+    q = (
+        coalesced.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # drain input, then wait past the 2s quiet window so state times out
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sink.committed_batches():
+                rows = [r for b in sink.committed_batches() for r in spark.read.parquet(os.path.join(out, "data", f"batch_id={b}")).collect()]
+                if len(rows) >= 2:
+                    break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {r["clip_id"]: (r["transcript"], r["rev"], r["n_revisions"]) for r in rows}
+    assert got["c1"] == ("v two", 2, 2)
+    assert got["c2"] == ("w one", 1, 1)
