@@ -64,8 +64,13 @@ def _one(pkg_or_flow, spark, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize the north-rule clips table, validate duration
     JVM-side, decode PCM via Arrow UDF, window per codec time-bucket."""
+    from dataflows_spark import ensure_shipped
     from dataflows_spark.functions import audio
     from dataflows_spark.sources.clips import clips_df
+
+    # the harness creates its own SparkSession; ship the package so
+    # Python workers can unpickle the Arrow UDFs regardless of cwd
+    ensure_shipped(spark)
 
     clips = clips_df(spark, 500, seed=42, dur_min=200, dur_max=2000)
     valid = clips.filter(audio.duration_valid_col())

@@ -8,7 +8,7 @@ named DataFrames; its checkpoint/upsert machinery becomes Structured
 Streaming checkpoints and idempotent keyed sinks.
 """
 
-from .core import Context, Flow, ProcessorError, Stage, TablePackage, build_session
+from .core import Context, Flow, ProcessorError, Stage, TablePackage, build_session, ensure_shipped
 
 # load the submodules BEFORE the star import: the `sources` OPERATOR
 # (reference processors/sources.py) shares its name with the `sources/`

@@ -1,4 +1,4 @@
-from .context import Context, build_session
+from .context import Context, build_session, ensure_shipped
 from .errors import ProcessorError, SchemaError
 from .flow import DataFrameStage, Flow, FuncStage, IterableStage, Stage
 from .package import TablePackage
@@ -14,4 +14,5 @@ __all__ = [
     "Stage",
     "TablePackage",
     "build_session",
+    "ensure_shipped",
 ]

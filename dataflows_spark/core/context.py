@@ -29,6 +29,35 @@ class Context:
                 fn()
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make the dataflows_spark package importable inside Python workers
+    of an externally-created SparkSession (the spark-submit --py-files
+    equivalent, applied at runtime): zip the package once and
+    ``addPyFile`` it. Safe to call repeatedly."""
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    marker = f"_dfs_shipped_{abs(hash(pkg_dir))}"
+    if getattr(spark, marker, False):
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "dataflows_spark_auto.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, marker, True)
+
+
 def build_session(
     app_name: str = "dataflows_spark",
     master: str | None = None,
