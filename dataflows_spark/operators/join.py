@@ -46,6 +46,7 @@ from ..core.package import TablePackage
 _ORD = "__df_ord__"
 _JKEY = "__df_jkey__"
 _MATCH = "__df_matched__"
+_KEYVALS = "__df_keyvals__"
 
 AGG_NAMES = (
     "sum avg median max min first last count any set array counters".split()
@@ -200,9 +201,15 @@ def aggregate_source(
     key: Any,
     fields: dict[str, dict],
     ordering: list[str] | None = None,
+    capture_key_fields: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """GroupBy-aggregate the source per the fields spec; returns
-    (aggregated df, join key column names)."""
+    (aggregated df, join key column names, output-name map).
+
+    ``capture_key_fields``: also carry the source key FIELD values per
+    group (reference ``__key__``, join.py:216-217) so full-outer joins
+    on format-string keys can reconstruct target key fields for
+    unmatched source keys (join.py:266-268)."""
     fields = expand_fields(fix_fields(fields), source.columns)
     src = _with_ord(source, ordering, rownum=_is_format_key(key) and "{#}" in key)
     if _is_format_key(key):
@@ -219,6 +226,12 @@ def aggregate_source(
     out_map = {f: (f"__out_{f}" if f in key_cols else f) for f in fields}
     exprs = [_agg_expr(s["aggregate"], s["name"], out_map[f]) for f, s in main_aggs.items()]
     exprs.append(F.lit(True).alias(_MATCH))
+    if capture_key_fields:
+        kf = [f for f in _key_fields(key) if f != "#"]
+        if kf:
+            exprs.append(
+                F.any_value(F.struct(*[F.col(f).alias(f"f{i}") for i, f in enumerate(kf)])).alias(_KEYVALS)
+            )
     agg = src.groupBy(*key_cols).agg(*exprs)
     for f, s in counter_aggs.items():
         cdf = _counters_df(src, key_cols, s["name"], out_map[f])
@@ -272,7 +285,12 @@ class join(Stage):
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         source = pkg[self.source_name]
 
-        agg, skey_cols, out_map = aggregate_source(source, self.source_key, self.fields, self.ordering)
+        capture = self.mode == "full-outer" and (
+            _is_format_key(self.source_key) or _is_format_key(self.target_key)
+        )
+        agg, skey_cols, out_map = aggregate_source(
+            source, self.source_key, self.fields, self.ordering, capture_key_fields=capture
+        )
 
         if self.target_key is None:
             # join_with_self / deduplication mode (reference join.py:224-235):
@@ -321,13 +339,25 @@ class join(Stage):
 
         # project agg to join keys + uniformly-prefixed output columns, so
         # neither target-column nor key-name collisions can occur
+        keyvals = [F.col(_KEYVALS)] if _KEYVALS in agg.columns else []
         agg_proj = agg.select(
             *join_on,
             *[F.col(out_map[f]).alias(f"__agg_{f}") for f in new_cols],
             F.col(_MATCH),
+            *keyvals,
         )
 
         joined = tgt.join(agg_proj, on=join_on, how=how)
+
+        # unmatched-source rows of a format-key full-outer join reconstruct
+        # the target's key fields from the captured source key values
+        # (reference __key__ mechanism, join.py:258-268)
+        key_fill: dict[str, Column] = {}
+        if keyvals and how == "full":
+            tkf = [f for f in _key_fields(self.target_key) if f != "#"]
+            skf = [f for f in _key_fields(self.source_key) if f != "#"]
+            for i, tf in enumerate(tkf[: len(skf)]):
+                key_fill[tf] = F.coalesce(F.col(tf), F.col(f"{_KEYVALS}.f{i}"))
 
         # matched rows take the aggregate; unmatched keep the target's own
         # value if the column pre-existed (reference join.py:244-249)
@@ -337,6 +367,8 @@ class join(Stage):
         for c in tgt_cols:
             if c in new_cols:
                 select_cols.append(F.when(matched, F.col(f"__agg_{c}")).otherwise(F.col(c)).alias(c))
+            elif c in key_fill:
+                select_cols.append(key_fill[c].alias(c))
             else:
                 select_cols.append(F.col(c))
         for c in new_cols:

@@ -156,3 +156,29 @@ def test_join_aggregator_set_and_array(spark):
     assert a["uniq"] == [1, 3]  # sorted-set (documented deviation)
     assert a["med"] == 3 and a["mn"] == 1
     assert b["vals"] == [2]
+
+
+def test_join_full_outer_format_keys_reconstructs_target_key(spark):
+    # reference __key__ mechanism (join.py:258-268, test_edge_cases.py:104-133):
+    # unmatched SOURCE keys emit rows with the target key fields filled from
+    # the captured source key values
+    src = [{"house": "Lannister", "age": 30.0}, {"house": "Greyjoy", "age": 20.0}]
+    tgt = [{"h": "Lannister", "seat": "Casterly Rock"}, {"h": "Stark", "seat": "Winterfell"}]
+    res, _, _ = Flow(
+        spark.createDataFrame(src).coalesce(1),
+        spark.createDataFrame(tgt).coalesce(1),
+        join(
+            "res_1",
+            "{house}",
+            "res_2",
+            "{h}",
+            {"max_age": {"name": "age", "aggregate": "max"}},
+            mode="full-outer",
+        ),
+        sort_rows(["h"]),
+    ).results(spark)
+    assert res[0] == [
+        {"h": "Greyjoy", "seat": None, "max_age": 20.0},     # reconstructed key
+        {"h": "Lannister", "seat": "Casterly Rock", "max_age": 30.0},
+        {"h": "Stark", "seat": "Winterfell", "max_age": None},
+    ]
