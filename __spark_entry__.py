@@ -573,6 +573,21 @@ def q_set_type_date(spark: SparkSession, sf: str) -> DataFrame:
     return flow._run(Context(spark), pkg)["orders"]
 
 
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props: JSON extraction + windowed agg over the
+    extracted value (reference 'object' type handling, SURVEY §1.3)."""
+    events = spark.read.parquet(_t(sf, "events"))
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _with_utc(fn: Callable) -> Callable:
     """Pin the session timezone for oracle comparability regardless of
     the harness session's defaults."""
@@ -590,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES = {
+        "json_extract": q_json_extract,
         "set_type_date": q_set_type_date,
         "counters": q_counters,
         "first_last_ordered": q_first_last_ordered,
@@ -686,6 +702,12 @@ def _lang_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["json_extract"] = (
+        "SELECT event_type, count(*) AS n, "
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY 1"
+    )
     sql["set_type_date"] = (
         "SELECT o_orderkey, CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d FROM orders"
     )

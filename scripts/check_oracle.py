@@ -50,6 +50,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
