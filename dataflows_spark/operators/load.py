@@ -74,6 +74,7 @@ class load(Stage):
         deduplicate_headers: bool = False,
         extract_missing_values: Any = None,
         override_schema: Any = None,
+        infer_strategy: str | None = None,
         **options: Any,
     ):
         self.source = source
@@ -84,6 +85,9 @@ class load(Stage):
         self.limit_rows = limit_rows
         self.deduplicate_headers = deduplicate_headers
         self.extract_missing_values = extract_missing_values
+        # reference infer strategies (load.py:183-204): 'full' parses
+        # string sources into types, 'strings' keeps everything string
+        self.infer_strategy = infer_strategy
         self.options = options
 
     def _read(self, ctx: Context) -> DataFrame:
@@ -102,7 +106,8 @@ class load(Stage):
         if fmt == "csv":
             reader = reader.option("header", "true")
             if self.schema is None:
-                reader = reader.option("inferSchema", "true")
+                infer = self.infer_strategy not in ("strings", "INFER_STRINGS")
+                reader = reader.option("inferSchema", str(infer).lower())
         if self.schema is not None:
             reader = reader.schema(self.schema)
         for k, v in self.options.items():
@@ -112,16 +117,24 @@ class load(Stage):
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         df = self._read(ctx)
         if self.deduplicate_headers:
+            # reference naming (load.py:284-302): second 'a' → 'a (2)'.
+            # csv: Spark already mangles duplicate headers (a→a0,a1), so
+            # recover the raw header line and rename positionally.
+            names = df.columns
+            fmt = _infer_format(self.source, self.format)
+            if fmt == "csv":
+                header = ctx.spark.read.text(self.source).limit(1).collect()[0][0]
+                names = [h.strip() for h in header.split(",")]
             seen: dict[str, int] = {}
-            renames = {}
-            for c in df.columns:
+            out = []
+            for c in names:
                 if c in seen:
                     seen[c] += 1
-                    renames[c] = f"{c} ({seen[c]})"
+                    out.append(f"{c} ({seen[c]})")
                 else:
                     seen[c] = 1
-            if renames:
-                df = df.toDF(*[renames.get(c, c) for c in df.columns])
+                    out.append(c)
+            df = df.toDF(*out)
         if self.extract_missing_values:
             spec = self.extract_missing_values
             if spec is True:

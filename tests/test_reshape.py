@@ -144,3 +144,29 @@ def test_csv_load(spark, tmp_path):
     p.write_text("name,age\n john ,3\npaul,4\n")
     res, _, _ = Flow(load(str(p)), sort_rows(["age"])).results(spark)
     assert res[0] == [{"name": "john", "age": 3}, {"name": "paul", "age": 4}]
+
+
+def test_csv_infer_strategy_strings(spark, tmp_path):
+    # reference INFER_STRINGS (load.py:183-204): all columns stay string
+    p = tmp_path / "s.csv"
+    p.write_text("name,age\njohn,3\n")
+    res, _, _ = Flow(load(str(p), infer_strategy="strings")).results(spark)
+    assert res[0] == [{"name": "john", "age": "3"}]
+    res, _, _ = Flow(load(str(p))).results(spark)  # default: full inference
+    assert res[0] == [{"name": "john", "age": 3}]
+
+
+def test_load_limit_rows(spark, tmp_path):
+    # reference test_lib.py:1718-1727
+    p = tmp_path / "b.csv"
+    p.write_text("name,instrument\njohn,guitar\npaul,bass\ngeorge,guitar\nringo,drums\n")
+    res, _, _ = Flow(load(str(p), limit_rows=3)).results(spark)
+    assert len(res[0]) == 3
+
+
+def test_load_deduplicate_headers(spark, tmp_path):
+    # reference load.py:284-302 (duplicate_headers fixture)
+    p = tmp_path / "d.csv"
+    p.write_text("a,a,b\n1,2,3\n")
+    res, _, _ = Flow(load(str(p), deduplicate_headers=True, infer_strategy="strings")).results(spark)
+    assert set(res[0][0].keys()) == {"a", "a (2)", "b"}
