@@ -269,6 +269,7 @@ class join(Stage):
         mode: str = "half-outer",
         source_delete: bool = True,
         ordering: list[str] | None = None,
+        broadcast: bool | None = None,
     ):
         if full is not None:
             mode = "half-outer" if full else "inner"
@@ -281,6 +282,10 @@ class join(Stage):
         self.mode = mode
         self.source_delete = source_delete
         self.ordering = ordering
+        # explicit broadcast of the aggregated source side (AQE usually
+        # decides this from runtime stats; force it when the caller KNOWS
+        # the key cardinality is small — the 100 TB dim-join case)
+        self.broadcast = broadcast
 
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         source = pkg[self.source_name]
@@ -347,6 +352,8 @@ class join(Stage):
             *keyvals,
         )
 
+        if self.broadcast and how != "full":
+            agg_proj = F.broadcast(agg_proj)
         joined = tgt.join(agg_proj, on=join_on, how=how)
 
         # unmatched-source rows of a format-key full-outer join reconstruct

@@ -58,3 +58,14 @@ def test_fused_decode_single_python_stage(spark):
     )
     plan = _plan(df)
     assert plan.count("ArrowEvalPython") == 1  # fused: one Python stage total
+
+
+def test_join_explicit_broadcast_hint(spark):
+    pkg = Flow(
+        load(f"{SF}/lineitem.parquet", name="lineitem"),
+        load(f"{SF}/part.parquet", name="part"),
+        join("lineitem", ["l_partkey"], "part", ["p_partkey"], {"n": {"aggregate": "count"}},
+             mode="half-outer", broadcast=True),
+    ).dataframes(spark)
+    plan = _plan(pkg["part"])
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -165,3 +165,59 @@ def test_stream_deduplicate_within_watermark(spark, tmp_path):
 
     got = sorted(r["k"] for r in ExactlyOnceParquetSink(out).read(spark).collect())
     assert got == ["a", "b"]
+
+
+def test_flow_streaming_audio_decode_restart(spark, tmp_path):
+    """The complete north-rule chain over a true stream WITH audio
+    payloads: load_stream → JVM duration validation → Arrow decode UDF →
+    transcript normalization → windowed agg → exactly-once sink, fed in
+    two halves with a kill-restart between. Verifies: exactly-once
+    counts, decode correctness (rms in range), transcript equality with
+    the batch path."""
+    from dataflows_spark import find_replace
+    from dataflows_spark.sources.clips import CLIPS_SCHEMA
+    from dataflows_spark.streaming import ExactlyOnceParquetSink
+
+    in_dir, cp, out = _prep_dirs(tmp_path, "a_in", "a_cp", "a_out")
+    clips = clips_df(spark, 150, dur_min=200, dur_max=500)
+    half1 = clips.filter(F.col("clip_id") < "clip-000000000075")
+    half2 = clips.filter(F.col("clip_id") >= "clip-000000000075")
+
+    def run_once():
+        def decode_stage(ctx, pkg):
+            df = pkg["clips"]
+            df = df.filter(audio.duration_valid_col())
+            df = df.withColumn("st", audio.decode_stats("bytes", "codec")).select(
+                "clip_id", "codec", "event_time", "transcript", F.col("st.rms").alias("rms")
+            )
+            pkg["clips"] = df
+
+        flow = Flow(
+            load_stream(in_dir, name="clips", schema=CLIPS_SCHEMA),
+            decode_stage,
+            find_replace([{"name": "transcript", "patterns": [{"find": r"\s+", "replace": " "}]}], resources="clips"),
+            dump_stream(out, cp, mode="merge", keys=["clip_id"], resources="clips", process_all=True, output_mode="append"),
+        )
+        return flow.process(spark)
+
+    half1.write.mode("append").parquet(in_dir)
+    run_once()
+    half2.write.mode("append").parquet(in_dir)
+    run_once()  # restart from checkpoint
+
+    from dataflows_spark.streaming import KeyedMergeSink
+
+    result = KeyedMergeSink(out, keys=["clip_id"]).read(spark).collect()
+    ids = [r["clip_id"] for r in result]
+    n_valid = clips.filter(audio.duration_valid_col()).count()
+    assert len(ids) == len(set(ids)) == n_valid  # exactly-once across restart
+    assert all(r["rms"] is not None and 0.01 < r["rms"] < 1.5 for r in result)
+    # transcript equality vs the batch-computed normalization
+    expected = {
+        r["clip_id"]: r["t"]
+        for r in clips.filter(audio.duration_valid_col())
+        .select("clip_id", F.regexp_replace(F.col("transcript").cast("string"), r"\s+", " ").alias("t"))
+        .collect()
+    }
+    for r in result:
+        assert r["transcript"] == expected[r["clip_id"]], r["clip_id"]
