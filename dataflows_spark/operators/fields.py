@@ -41,6 +41,9 @@ TABLE_SCHEMA_TYPES: dict[str, str] = {
     "time": "string",
     "duration": "interval day to second",
     "year": "int",
+    "yearmonth": "struct<year:int,month:int>",
+    "geopoint": "array<double>",
+    "geojson": "string",
     "binary": "binary",
     "any": "string",
 }

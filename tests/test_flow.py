@@ -197,3 +197,11 @@ def test_validate_quarantine_audio_duration(spark):
     n_ok = pkg["res_1"].count()
     n_bad = pkg["res_1__invalid"].count()
     assert n_ok + n_bad == 200 and 0 < n_bad < 10
+
+
+def test_set_type_ignore_keeps_original_as_string(spark):
+    # reference 'ignore' mode: failed casts keep the original value; in a
+    # static-schema engine the column stays string-typed (documented)
+    data = [{"b": "1"}, {"b": "x"}]
+    results, _, _ = Flow(data, set_type("b", type="integer", on_error="ignore")).results(spark)
+    assert sorted(r["b"] for r in results[0]) == ["1", "x"]

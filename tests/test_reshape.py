@@ -170,3 +170,13 @@ def test_load_deduplicate_headers(spark, tmp_path):
     p.write_text("a,a,b\n1,2,3\n")
     res, _, _ = Flow(load(str(p), deduplicate_headers=True, infer_strategy="strings")).results(spark)
     assert set(res[0][0].keys()) == {"a", "a (2)", "b"}
+
+
+def test_dump_csv_and_json_roundtrip(spark, tmp_path):
+    data = [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]
+    for fmt in ("csv", "json"):
+        out = str(tmp_path / f"out_{fmt}")
+        Flow(data, dump_to_path(out, format=fmt)).process(spark)
+        res, _, _ = Flow(load(os.path.join(out, "res_1"), format=fmt), sort_rows(["x"])).results(spark)
+        got = [{"x": int(r["x"]), "y": r["y"]} for r in res[0]]
+        assert got == data
