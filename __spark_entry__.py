@@ -588,6 +588,14 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN (k-means inverted lists, multi-probe) — rows-only
+    check (centroid training is not SQL-reproducible)."""
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.ivf_cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=10, n_lists=8, n_probe=3).select("vec_id")
+
+
 def _with_utc(fn: Callable) -> Callable:
     """Pin the session timezone for oracle comparability regardless of
     the harness session's defaults."""
@@ -639,6 +647,7 @@ _QUERIES = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 

@@ -70,6 +70,97 @@ def lsh_signature(vec_col: str, dim: int, bits: int = 8, seed: int = 42) -> Colu
     return sig.cast("int")
 
 
+def ivf_assignments(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer: k-means centroids trained on a (sampled)
+    driver-side copy — deterministic Philox init, few Lloyd iterations —
+    then every vector assigned to its nearest centroid JVM-side.
+
+    At 100 TB the assignment is the scan-time path (pure expressions);
+    training still samples a tiny fraction. Returns (df + ``__list``
+    column, centroids)."""
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    X = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    centroids = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(8):  # Lloyd iterations on the sample
+        sims = X @ centroids.T
+        assign = sims.argmax(axis=1)
+        for k in range(len(centroids)):
+            members = X[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[k] = c / max(np.linalg.norm(c), 1e-12)
+
+    v = F.col(vec_col).cast("array<double>")
+    sim_cols = [
+        dot(v, F.array(*[F.lit(float(x)) for x in c])) / F.greatest(l2_norm(v), F.lit(1e-12))
+        for c in centroids
+    ]
+    best = F.greatest(*sim_cols) if len(sim_cols) > 1 else sim_cols[0]
+    list_expr = F.lit(0)
+    for i in reversed(range(len(sim_cols))):
+        list_expr = F.when(sim_cols[i] == best, F.lit(i)).otherwise(list_expr)
+    return df.withColumn("__list", list_expr.cast("int")), centroids
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: restrict the exact scan to the ``n_probe`` inverted
+    lists whose centroids are nearest the query. At scale the table is
+    written partitioned/bucketed by ``__list`` so probing is partition
+    pruning, not a filter."""
+    assigned, centroids = ivf_assignments(df, vec_col, id_col, n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    cand = assigned.filter(F.col("__list").isin([int(p) for p in probe])).drop("__list")
+    return cosine_topk(cand, vec_col, id_col, query_vec, k)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: candidates come from an
+    equi-self-join on the hyperplane LSH bucket (high-cosine pairs share
+    all/most sign bits), then exact cosine verifies. No cross product."""
+    first = df.select(vec_col).head()
+    dim = dim or (len(first[0]) if first else 0)
+    sig = lsh_signature(vec_col, dim, bits, seed)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), sig.alias("sig"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sig").alias("sig_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("sig_b"))
+    cand = a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        cand.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     vec_col: str,

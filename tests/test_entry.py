@@ -25,7 +25,7 @@ def test_every_oracle_has_a_query():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     # non-SQL-expressible ops are the only ones allowed to lack an oracle
-    assert set(qs) - set(os_) == {"simhash", "ann_lsh_topk"}
+    assert set(qs) - set(os_) == {"simhash", "ann_lsh_topk", "ann_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -108,3 +108,31 @@ def test_multimodal_stubs(spark):
 
     with pytest.raises(Exception):
         mm.image_features(df, strict=True).collect()
+
+
+def test_ivf_cosine_topk_recall(spark):
+    rng = np.random.Generator(np.random.Philox(key=[3, 4]))
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    vecs[11] = vecs[0] * 0.95 + 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in sim.cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    approx = [r["vec_id"] for r in sim.ivf_cosine_topk(df, "embedding", "vec_id", q, k=10, n_lists=8, n_probe=3).collect()]
+    assert approx[0] == 0 and 11 in approx
+    # recall@10 vs exact should be high with 3/8 probes
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_lsh_neardup_pairs_finds_clone(spark):
+    rng = np.random.Generator(np.random.Philox(key=[5, 6]))
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    vecs[42] = vecs[7]  # exact clone
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in sim.lsh_neardup_pairs(df, "embedding", "vec_id", threshold=0.99).collect()}
+    assert (7, 42) in pairs
