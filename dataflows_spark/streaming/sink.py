@@ -115,7 +115,7 @@ def start_exactly_once_query(
     with a checkpoint dir (offsets + state survive restarts —
     reference ``checkpoint.py`` resume semantics)."""
     writer = (
-        df.writeStream.outputMode("update" if trigger is None else "update")
+        df.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
