@@ -51,8 +51,41 @@ def _apply(df: DataFrame, window_col: Column, keys: list[str], fields: dict[str,
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     fields = expand_fields(fix_fields(fields), df.columns)
-    exprs = [_windowed_agg_expr(s["aggregate"], s["name"], f, ts_col) for f, s in fields.items()]
-    out = df.groupBy(window_col.alias("window"), *[F.col(k) for k in keys]).agg(*exprs)
+    main = {f: s for f, s in fields.items() if s["aggregate"] != "counters"}
+    counters = {f: s for f, s in fields.items() if s["aggregate"] == "counters"}
+    if counters and df.isStreaming:
+        # two-phase counters = chained stateful aggregations — unsupported
+        # on a stream; batch windows support it below
+        raise NotImplementedError("counters aggregator in STREAMING windows; use batch or foreachBatch")
+    exprs = [_windowed_agg_expr(s["aggregate"], s["name"], f, ts_col) for f, s in main.items()]
+    grouped = df.groupBy(window_col.alias("window"), *[F.col(k) for k in keys])
+    out = grouped.agg(*exprs) if exprs else grouped.agg(F.count(F.lit(1)).alias("__n__")).drop("__n__")
+    for f, s in counters.items():
+        # two-phase per-(window, keys, value) counts → count-desc list
+        # (reference counters semantics, join.py:117-122)
+        c = F.col(s["name"])
+        per_val = (
+            df.groupBy(window_col.alias("window"), *[F.col(k) for k in keys], c.cast("string").alias("__val__"))
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+        )
+        cdf = per_val.groupBy("window", *keys).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("__cnt__")).alias("nc"), F.col("__val__").alias("value"), F.col("__cnt__").alias("count")))
+                ),
+                lambda x: F.struct(x["value"].alias("value"), x["count"].alias("count")),
+            ).alias(f)
+        )
+        ck = ["__w__"] + [f"__k{i}__" for i in range(len(keys))]
+        cdf = cdf.toDF(*ck, f)
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a & b,
+            [out["window"].eqNullSafe(cdf["__w__"])]
+            + [out[k].eqNullSafe(cdf[c2]) for k, c2 in zip(keys, ck[1:])],
+        )
+        out = out.join(cdf, on=cond, how="left").drop(*ck)
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),

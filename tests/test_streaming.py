@@ -272,3 +272,13 @@ def test_stateful_revision_coalescer(spark, tmp_path):
     got = {r["clip_id"]: (r["transcript"], r["rev"], r["n_revisions"]) for r in rows}
     assert got["c1"] == ("v two", 2, 2)
     assert got["c2"] == ("w one", 1, 1)
+
+
+def test_tumbling_window_counters_batch(spark):
+    out = tumbling_window_agg(
+        _events(spark, EVENTS), "ts", "5 minutes", [],
+        {"k_counts": {"name": "k", "aggregate": "counters"}, "n": {"aggregate": "count"}},
+    ).collect()
+    got = {r["window_start"].minute: [(e["value"], e["count"]) for e in r["k_counts"]] for r in out}
+    assert got[0] == [("a", 2), ("b", 1)] or got[0] == [("b", 1), ("a", 2)][::-1]
+    assert got[0][0] == ("a", 2)  # count-desc first
