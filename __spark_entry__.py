@@ -126,9 +126,18 @@ def q_computed_field(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
-    return _one(
+    """Money-style sums are aggregated DECIMAL-exact (SURVEY §7.4 item 4):
+    the double partial-sum order differs between engines, so sum/avg over
+    raw doubles are not bit-reproducible. Summing decimal(18,2) is exact;
+    casting the exact sum to double (and one double division for avg) is
+    IEEE-deterministic on both engines — no round() needed."""
+    df = _one(
         Flow(
             load(_t(sf, "orders"), name="orders"),
+            add_computed_field(
+                {"target": "otp_dec", "operation": "expr", "with": "CAST(o_totalprice AS DECIMAL(18,2))"},
+                resources="orders",
+            ),
             load(_t(sf, "customer"), name="customer"),
             join(
                 "orders",
@@ -137,18 +146,24 @@ def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
                 ["c_custkey"],
                 {
                     "n_orders": {"aggregate": "count"},
-                    "total_spend": {"name": "o_totalprice", "aggregate": "sum"},
+                    "total_spend_dec": {"name": "otp_dec", "aggregate": "sum"},
                     "max_order": {"name": "o_totalprice", "aggregate": "max"},
                     "min_order": {"name": "o_totalprice", "aggregate": "min"},
-                    "avg_order": {"name": "o_totalprice", "aggregate": "avg"},
                 },
                 mode="inner",
             ),
-            select_fields(["c_custkey", "n_orders", "total_spend", "max_order", "min_order", "avg_order"], regex=False),
         ),
         spark,
         "customer",
-    ).withColumn("total_spend", F.round("total_spend", 4)).withColumn("avg_order", F.round("avg_order", 4))
+    )
+    return df.select(
+        "c_custkey",
+        "n_orders",
+        F.col("total_spend_dec").cast("double").alias("total_spend"),
+        "max_order",
+        "min_order",
+        (F.col("total_spend_dec").cast("double") / F.col("n_orders")).alias("avg_order"),
+    )
 
 
 def q_join_half_outer(spark: SparkSession, sf: str) -> DataFrame:
@@ -712,8 +727,10 @@ def _lang_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["json_extract"] = (
+        # CAST the sum: DuckDB sum(BIGINT) is HUGEINT (int128) and the
+        # driver's value hash is type-sensitive (round-1 hash mismatch)
         "SELECT event_type, count(*) AS n, "
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
         "FROM events GROUP BY 1"
     )
@@ -764,9 +781,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem WHERE l_orderkey < 100"
     )
     sql["join_agg"] = (
-        "SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total_spend, "
+        # decimal-exact sum → double; one double division for avg — both
+        # bit-reproducible across engines (no round-on-double)
+        "SELECT c.c_custkey, count(*) AS n_orders, "
+        "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend, "
         "max(o.o_totalprice) AS max_order, min(o.o_totalprice) AS min_order, "
-        "round(avg(o.o_totalprice), 4) AS avg_order "
+        "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order "
         "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1"
     )
     sql["join_half_outer"] = (

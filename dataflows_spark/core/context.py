@@ -18,14 +18,18 @@ class Context:
 
     def run_finalizers(self, pkg) -> None:
         for fn in self._finalizers:
-            try:
-                import inspect
+            # signature introspection failures (builtins/partials) fall back
+            # to the no-arg form; errors raised INSIDE the finalizer must
+            # propagate and must not trigger a duplicate second call
+            import inspect
 
-                if len(inspect.signature(fn).parameters) >= 1:
-                    fn(pkg.stats)
-                else:
-                    fn()
+            try:
+                wants_stats = len(inspect.signature(fn).parameters) >= 1
             except (TypeError, ValueError):
+                wants_stats = False
+            if wants_stats:
+                fn(pkg.stats)
+            else:
                 fn()
 
 
@@ -34,25 +38,36 @@ def ensure_shipped(spark: SparkSession) -> None:
     of an externally-created SparkSession (the spark-submit --py-files
     equivalent, applied at runtime): zip the package once and
     ``addPyFile`` it. Safe to call repeatedly."""
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    marker = f"_dfs_shipped_{abs(hash(pkg_dir))}"
+    # key the artifact on a content hash of the sources so edited code is
+    # never served stale from a previous session's zip (round-1 advisor)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    h = hashlib.sha256()
+    for full in sorted(sources):
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()[:16]
+    marker = f"_dfs_shipped_{digest}"
     if getattr(spark, marker, False):
         return
-    zpath = os.path.join(tempfile.gettempdir(), "dataflows_spark_auto.zip")
+    zpath = os.path.join(tempfile.gettempdir(), f"dataflows_spark_auto_{digest}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
         os.replace(zpath + ".tmp", zpath)
     spark.sparkContext.addPyFile(zpath)
     setattr(spark, marker, True)

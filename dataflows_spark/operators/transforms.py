@@ -256,8 +256,18 @@ class validate(Stage):
                 if self.on_error == self.QUARANTINE:
                     pkg.add(f"{name}__invalid", df.filter(~pred | pred.isNull()))
                     return df.filter(pred)
-                guard = F.assert_true(pred, F.lit("validate failed"))
-                return df.withColumn("__v", guard).drop("__v")
+                # RAISE: the guard must live inside RETAINED output columns
+                # — a guard in an immediately-dropped column is eliminated
+                # by Catalyst column pruning and the validation silently
+                # never runs (round-1 advisor finding). assert_true yields
+                # NULL when the predicate holds, so when(guard.isNull(), c)
+                # is an identity projection that cannot be pruned.
+                guard = F.assert_true(
+                    pred.isNotNull() & pred, F.lit(f"validate failed: {self.args}")
+                )
+                return df.select(
+                    *[F.when(guard.isNull(), F.col(c)).alias(c) for c in df.columns]
+                )
             return df
 
         pkg.apply(apply, self.resources)

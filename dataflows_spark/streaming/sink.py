@@ -77,12 +77,25 @@ class ExactlyOnceParquetSink:
             int(f.split(".")[0]) for f in os.listdir(self.commit_dir) if f.endswith(".json")
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, latest_only: bool = True) -> DataFrame:
+        """Union of committed batches. Under ``outputMode('update')`` an
+        aggregation re-emits refined rows for the same key in later
+        micro-batches; with ``dedup_keys`` set (and ``latest_only``), only
+        the LATEST batch's row per key is returned so superseded versions
+        never leak to readers (round-1 advisor finding). Without
+        ``dedup_keys`` the raw append-log is returned."""
         committed = self.committed_batches()
         if not committed:
             raise FileNotFoundError(f"no committed batches under {self.path}")
         paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
-        return spark.read.parquet(*paths)
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        if self.dedup_keys and latest_only:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*self.dedup_keys).orderBy(F.col("batch_id").desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        return df.drop("batch_id")
 
 
 class KeyedMergeSink:

@@ -200,6 +200,13 @@ class dump_stream(Stage):
     - ``mode='merge'`` → :class:`KeyedMergeSink` (upsert on ``keys`` —
       the Iceberg MERGE INTO / dump_to_sql-update analog)
 
+    OUTPUT-MODE SEMANTICS: the default ``output_mode='update'`` re-emits
+    refined aggregate rows on later micro-batches; the append sink keeps
+    each emission in its own ``batch_id=`` dir (an append log). Pass
+    ``keys=`` so ``sink.read()`` resolves to the latest version per key,
+    or use ``output_mode='append'`` (+ watermark) for emit-once-final
+    windows, or ``mode='merge'`` to upsert in place.
+
     ``Flow.process`` drives the query; with ``process_all=True`` (test
     mode) the query drains available input synchronously and stops.
     """

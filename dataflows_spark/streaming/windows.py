@@ -25,7 +25,9 @@ _WINDOW_AGGS = {
     "max": F.max,
     "min": F.min,
     "count": lambda c: F.count(F.lit(1)),
-    "any": F.any_value,
+    # ignoreNulls: the reference's aggregators skip None (join.py indexer),
+    # as does the batch path's max_by-over-non-null-ord
+    "any": lambda c: F.any_value(c, True),
     "set": lambda c: F.array_sort(F.collect_set(c)),
 }
 

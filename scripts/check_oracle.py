@@ -24,10 +24,21 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # STRICT, type-tagged: the driver's value hash caught last-ulp double
+    # diffs (join_agg) and DuckDB HUGEINT (decimal128) vs Spark int64
+    # (json_extract) that a lossy %.9g str canonicalization masked.
+    import decimal
+
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     if hasattr(v, "isoformat"):
         try:
             return v.replace(tzinfo=None).isoformat()
@@ -71,9 +82,12 @@ def main() -> int:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # fetch via Arrow: preserves nullable int64 (unlike pandas) and
+            # surfaces HUGEINT sums as Decimal — a sum over BIGINT must be
+            # CAST to BIGINT in the oracle or the type tag mismatches
+            otab = con.execute(oracles[name]).arrow()
+            ocols = otab.column_names
+            orows = [tuple(d[c] for c in ocols) for d in otab.to_pylist()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")

@@ -205,3 +205,35 @@ def test_set_type_ignore_keeps_original_as_string(spark):
     data = [{"b": "1"}, {"b": "x"}]
     results, _, _ = Flow(data, set_type("b", type="integer", on_error="ignore")).results(spark)
     assert sorted(r["b"] for r in results[0]) == ["1", "x"]
+
+
+def test_validate_raise_actually_raises(spark):
+    """A Column-predicate validate with default on_error='raise' must
+    fail the action — the guard lives in retained output columns so
+    Catalyst cannot prune it away (round-1 advisor: a guard in a dropped
+    column made validate a silent no-op)."""
+    from dataflows_spark import validate
+    from pyspark.sql import functions as F
+
+    data = [{"x": 1}, {"x": -5}]
+    with pytest.raises(ProcessorError):
+        Flow(data, validate("x", F.col("x") > 0)).results(spark)
+    # and passes through untouched when all rows are valid
+    results, _, _ = Flow([{"x": 1}, {"x": 2}], validate("x", F.col("x") > 0)).results(spark)
+    assert sorted(r["x"] for r in results[0]) == [1, 2]
+
+
+def test_finalizer_error_propagates_and_runs_once(spark):
+    """A TypeError raised inside a finalizer must propagate, not be
+    swallowed and retried as fn() (round-1 advisor)."""
+    from dataflows_spark import finalizer
+
+    calls = []
+
+    def bad(stats):
+        calls.append(1)
+        raise TypeError("boom")
+
+    with pytest.raises(TypeError, match="boom"):
+        Flow([{"x": 1}], finalizer(bad)).results(spark)
+    assert calls == [1]

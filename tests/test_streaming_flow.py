@@ -56,21 +56,18 @@ def test_flow_streaming_window_pipeline(spark, tmp_path):
             watermark="2 minutes",
             resources="clips",
         ),
-        dump_stream(out, cp, resources="clips", process_all=True),
+        dump_stream(out, cp, keys=["codec", "window_start"], resources="clips", process_all=True),
     )
     meta, stats = flow.process(spark)
     assert stats["lineage"]["total_input_rows"] == n_valid
     assert stats["lineage"]["batches"] >= 1
 
-    # latest emission per window must count every valid clip exactly once
+    # sink.read() with keys resolves update-mode re-emissions to the latest
+    # version per (codec, window) — every valid clip counted exactly once
     from dataflows_spark.streaming import ExactlyOnceParquetSink
 
-    sink = ExactlyOnceParquetSink(out)
-    latest = {}
-    for b in sink.committed_batches():
-        for r in spark.read.parquet(os.path.join(out, "data", f"batch_id={b}")).collect():
-            latest[(r["codec"], r["window_start"])] = r["n"]
-    assert sum(latest.values()) == n_valid
+    sink = ExactlyOnceParquetSink(out, dedup_keys=["codec", "window_start"])
+    assert sum(r["n"] for r in sink.read(spark).collect()) == n_valid
 
 
 def test_flow_streaming_join_merge_restart(spark, tmp_path):
