@@ -441,7 +441,30 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return sim.cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=20).select("vec_id")
 
 
+def _emb_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings ∪ copies of vec_id<50 (shifted ids) — deterministic
+    planted near-dups for the LSH gate; the oracle mirrors the union."""
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    copies = emb.filter(F.col("vec_id") < 50).withColumn("vec_id", F.col("vec_id") + 100000)
+    return emb.unionByName(copies)
+
+
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs via the SCALE path: hyperplane-LSH bucket
+    equi-self-join, then exact cosine verification — no cartesian
+    (round-1 gate used the O(n²) brute force; that is now the separate
+    ``embedding_neardup_exact`` baseline). Identical vectors share every
+    sign bit, so LSH recall on the planted dup set is exactly 100%
+    (pytest asserts pair-set equality with brute force); the oracle
+    mirrors the bucketing with the same hyperplane literals."""
+    return sim.lsh_neardup_pairs(
+        _emb_with_dups(spark, sf), "embedding", "vec_id", threshold=0.99, dim=64, bits=8, seed=42
+    ).select("id_a", "id_b")
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force O(n²) cosine pairs — the correctness BASELINE for the
+    LSH-bucketed gate above (fixture-scale only; never the scale path)."""
     emb = spark.read.parquet(_t(sf, "embeddings"))
     return (
         ddp.embedding_neardup_pairs(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")), "embedding", "vec_id", threshold=0.4)
@@ -576,6 +599,29 @@ def q_validate_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_validate_recast(spark: SparkSession, sf: str) -> DataFrame:
+    """validate() with NO args = re-cast all fields against the declared
+    schema (reference validate.py:8-61 via schema_validator); failing
+    rows dropped per on_error."""
+    from dataflows_spark import Context, update_schema, validate
+
+    pkg = Flow(load(_t(sf, "customer"), name="customer")).dataframes(spark)
+    pkg["customer"] = pkg["customer"].select(
+        "c_custkey", _mixed_numeric_col().alias("mixed"), F.col("c_acctbal").cast("string").alias("bal_str")
+    )
+    flow = Flow(
+        update_schema(
+            "customer",
+            fields=[
+                {"name": "mixed", "type": "integer"},
+                {"name": "bal_str", "type": "number"},
+            ],
+        ),
+        validate(on_error="drop"),
+    )
+    return flow._run(Context(spark), pkg)["customer"]
+
+
 def q_set_type_date(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal set_type with a reference-style strptime format."""
     from dataflows_spark import Context, set_type
@@ -604,11 +650,17 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-flat ANN (k-means inverted lists, multi-probe) — rows-only
-    check (centroid training is not SQL-reproducible)."""
+    """IVF-flat ANN with deterministic data-row centroids
+    (``vec_id % 64 == 0``, capped) so the whole pipeline — centroid
+    choice, assignment, probing, exact scan — is SQL-reproducible and
+    oracle-checked. The Lloyd-trained variant (``ivf_cosine_topk``)
+    stays the production path, exercised by pytest recall tests."""
     emb = spark.read.parquet(_t(sf, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return sim.ivf_cosine_topk(emb, "embedding", "vec_id", [float(x) for x in qvec], k=10, n_lists=8, n_probe=3).select("vec_id")
+    return sim.ivf_topk_seeded(
+        emb, "embedding", "vec_id", [float(x) for x in qvec], k=10,
+        centroid_mod=64, centroid_max_id=1024, n_probe=3,
+    ).select("vec_id")
 
 
 def _with_utc(fn: Callable) -> Callable:
@@ -633,6 +685,7 @@ _QUERIES = {
         "counters": q_counters,
         "first_last_ordered": q_first_last_ordered,
         "array_agg_ordered": q_array_agg_ordered,
+        "validate_recast": q_validate_recast,
         "set_type_drop": q_set_type_drop,
         "set_type_clear": q_set_type_clear,
         "rename_add_fields": q_rename_add_fields,
@@ -661,6 +714,7 @@ _QUERIES = {
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -690,6 +744,59 @@ _MINHASH_H = (
     "list_min([CAST(concat('0x', substr(md5(concat(g, ':{i}')), 1, 15)) AS BIGINT) "
     "for g in grams])"
 )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine in DuckDB mirroring the engine's fold-ordered double math
+    (list_inner_product iterates left-to-right, same as Spark's
+    ``aggregate`` fold → bit-identical doubles)."""
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def _plane_lit(p) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _lsh_sig_sql(vexpr: str, bits: int, seed: int = 42, dim: int = 64) -> str:
+    """Hyperplane-LSH signature with the SAME Philox-seeded planes the
+    engine uses, inlined as SQL literals — sign bits agree because both
+    engines evaluate the identical fold-ordered dot product."""
+    from dataflows_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = [
+        f"(CASE WHEN list_inner_product({vexpr}, {_plane_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql(doc_source: str) -> str:
+    """64-bit md5-derived SimHash mirror of functions/dedup.py::simhash64:
+    token hash = (lo: md5[0:15] hex→int60, hi: md5[15] hex→int4); bit i
+    set iff the +1/−1 sign sum over tokens is positive."""
+    tok_bit = (
+        "CASE WHEN i < 60 THEN (hh.lo & (CAST(1 AS BIGINT) << i)) != 0 "
+        "ELSE (hh.hi & (CAST(1 AS BIGINT) << (i - 60))) != 0 END"
+    )
+    mask = "CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << i) END"
+    return f"""
+        WITH t AS (SELECT doc_id, {_NORM} AS norm FROM {doc_source}),
+        h AS (
+          SELECT doc_id,
+            [ {{'lo': CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT),
+                'hi': CAST(concat('0x', substr(md5(x), 16, 1)) AS BIGINT)}}
+              for x in (CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END) ] AS hs
+          FROM t
+        )
+        SELECT doc_id, CAST(list_sum(list_transform(range(64), i ->
+          CASE WHEN 2 * len(list_filter(hs, hh -> {tok_bit})) > len(hs)
+               THEN {mask} ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        FROM h
+    """
 
 
 def _lang_sql() -> str:
@@ -770,6 +877,12 @@ def oracle_sql() -> dict[str, str]:
         "n_regionkey AS nation_regionkey, 'tpch' AS source FROM nation"
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
+    sql["validate_recast"] = (
+        "WITH m AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 'notanumber' "
+        "ELSE CAST(c_custkey AS VARCHAR) END AS mixed, CAST(c_acctbal AS VARCHAR) AS bal_str FROM customer) "
+        "SELECT c_custkey, TRY_CAST(mixed AS BIGINT) AS mixed, TRY_CAST(bal_str AS DOUBLE) AS bal_str "
+        "FROM m WHERE TRY_CAST(mixed AS BIGINT) IS NOT NULL"
+    )
     sql["filter_select"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
         "WHERE l_quantity > 45 AND l_discount < 0.02"
@@ -901,11 +1014,43 @@ def oracle_sql() -> dict[str, str]:
         "LIMIT 20"
     )
     sql["embedding_neardup"] = (
+        # mirror of the LSH-bucketed gate: identical hyperplane literals,
+        # bucket equi-join, exact cosine verification over the planted-dup
+        # union
+        f"WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+        f"SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50), "
+        f"base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u), "
+        f"sig AS (SELECT vec_id, v, {_lsh_sig_sql('v', bits=8)} AS s FROM base) "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b "
+        f"ON a.s = b.s AND a.vec_id < b.vec_id "
+        f"WHERE {_cos_sql('a.v', 'b.v')} >= 0.99"
+    )
+    sql["embedding_neardup_exact"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
     )
-    # simhash (xxhash64) and ann_lsh_topk (numpy hyperplanes) are not
-    # SQL-reproducible → rows-only checks
+    sql["simhash"] = _simhash_sql("documents")
+    sql["ann_lsh_topk"] = (
+        # multi-probe (hamming ≤ 1) LSH candidates, exact cosine top-k
+        f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"sig AS (SELECT vec_id, v, {_lsh_sig_sql('v', bits=6)} AS s FROM base), "
+        f"q AS (SELECT v AS qv, s AS qs FROM sig WHERE vec_id = 0) "
+        f"SELECT vec_id FROM sig, q WHERE bit_count(xor(CAST(s AS BIGINT), CAST(qs AS BIGINT))) <= 1 "
+        f"ORDER BY {_cos_sql('v', 'qv')} DESC, vec_id LIMIT 10"
+    )
+    sql["ann_ivf_topk"] = (
+        # deterministic data-row centroids (vec_id % 64 == 0, < 1024),
+        # argmax-cosine assignment (ties → lower cid), top-3 probe lists
+        f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 64 = 0 AND vec_id < 1024), "
+        f"q AS (SELECT v AS qv FROM base WHERE vec_id = 0), "
+        f"probe AS (SELECT cid FROM cent, q ORDER BY {_cos_sql('cv', 'qv')} DESC, cid LIMIT 3), "
+        f"asg AS (SELECT b.vec_id, b.v, c.cid, row_number() OVER ("
+        f"  PARTITION BY b.vec_id ORDER BY {_cos_sql('b.v', 'c.cv')} DESC, c.cid) AS rn "
+        f"  FROM base b CROSS JOIN cent c) "
+        f"SELECT vec_id FROM asg, q WHERE rn = 1 AND cid IN (SELECT cid FROM probe) "
+        f"ORDER BY {_cos_sql('v', 'qv')} DESC, vec_id LIMIT 10"
+    )
     return sql

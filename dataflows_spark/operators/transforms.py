@@ -209,14 +209,15 @@ class set_type(Stage):
 
 
 class validate(Stage):
-    """Row validation (reference ``validate.py:8-61``): with no args,
-    re-cast all fields per current schema (a no-op here since Spark
-    schemas are always enforced); with a callable, keep rows satisfying
-    it; with ``(field, validator)``, keep rows whose field passes.
-    ``on_error='drop'`` drops failures (default raises);
-    ``on_error='quarantine'`` routes failures to a side resource
-    ``<name>__invalid`` (the per-row error routing of the reference's
-    ``schema_validator`` re-expressed as a split — SURVEY §2.3)."""
+    """Row validation (reference ``validate.py:8-61``): with NO args,
+    re-cast every field against the declared schema — the package's
+    ``schema_props['fields']`` type map (set by ``update_schema``), the
+    reference's ``schema_validator`` pass (``base/schema_validator.py:
+    23-50``) re-expressed as try_casts + an error-policy split. With a
+    callable, keep rows satisfying it; with ``(field, validator)``, keep
+    rows whose field passes. ``on_error='drop'`` drops failures (default
+    raises); ``on_error='quarantine'`` routes failing ORIGINAL rows to a
+    side resource ``<name>__invalid`` (SURVEY §2.3)."""
 
     name = "validate"
 
@@ -230,6 +231,8 @@ class validate(Stage):
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         def apply(name, df):
             pred: Column | None = None
+            if len(self.args) == 0:
+                return self._recast(name, df, pkg)
             if len(self.args) == 1 and callable(self.args[0]):
                 fn = self.args[0]
                 from .udf import rows_transform
@@ -271,6 +274,43 @@ class validate(Stage):
             return df
 
         pkg.apply(apply, self.resources)
+
+    def _recast(self, name: str, df, pkg: TablePackage):
+        """No-args mode: try_cast every declared field to its schema
+        type; rows whose non-null values fail any cast follow the
+        ``on_error`` policy. Fields without a declaration pass through."""
+        props = pkg.resource_meta.get(name, {}).get("schema_props") or {}
+        fields = [
+            f for f in (props.get("fields") or [])
+            if isinstance(f, dict) and f.get("name") in df.columns
+        ]
+        if not fields:
+            return df  # nothing declared → structurally enforced already
+        casted = {
+            f["name"]: (
+                _temporal_cast(f["name"], f.get("type", "string"), f.get("format"))
+                if f.get("type") in ("date", "datetime")
+                else None
+            )
+            for f in fields
+        }
+        exprs = {}
+        bads = []
+        for f in fields:
+            col, dtype = f["name"], f.get("type", "string")
+            c = casted[col] if casted[col] is not None else F.col(col).try_cast(spark_type(dtype))
+            exprs[col] = c
+            bads.append(F.col(col).isNotNull() & c.isNull())
+        bad = reduce(lambda a, b: a | b, bads)
+        out_exprs = [(exprs.get(c, F.col(c)), c) for c in df.columns]
+        if self.on_error == DROP:
+            return df.filter(~bad).select(*[e.alias(n) for e, n in out_exprs])
+        if self.on_error == self.QUARANTINE:
+            pkg.add(f"{name}__invalid", df.filter(bad))
+            return df.filter(~bad).select(*[e.alias(n) for e, n in out_exprs])
+        # RAISE: guard embedded in every retained column (prune-proof)
+        guard = F.assert_true(~bad, F.lit(f"validate: schema recast failed for {name}"))
+        return df.select(*[F.when(guard.isNull(), e).alias(n) for e, n in out_exprs])
 
 
 def _equality_predicate(equals, not_equals) -> Column | None:

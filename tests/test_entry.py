@@ -24,8 +24,10 @@ def test_every_oracle_has_a_query():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # non-SQL-expressible ops are the only ones allowed to lack an oracle
-    assert set(qs) - set(os_) == {"simhash", "ann_lsh_topk", "ann_ivf_topk"}
+    # every driver query is oracle-checked (round-2: simhash got an
+    # md5-derived mirror; the ANN gates inline their hyperplane/centroid
+    # parameters as SQL literals)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -237,3 +237,37 @@ def test_finalizer_error_propagates_and_runs_once(spark):
     with pytest.raises(TypeError, match="boom"):
         Flow([{"x": 1}], finalizer(bad)).results(spark)
     assert calls == [1]
+
+
+def test_validate_noargs_recasts_against_schema(spark):
+    """validate() with no args re-casts every declared field (reference
+    validate.py:8-61): drop / quarantine / raise policies."""
+    from dataflows_spark import Context, update_schema, validate
+    from dataflows_spark.core.package import TablePackage
+
+    data = [{"a": "1", "b": "x"}, {"a": "nope", "b": "y"}, {"a": "3", "b": "z"}]
+
+    def run(on_error):
+        pkg = Flow(data, update_schema(None, fields=[{"name": "a", "type": "integer"}]),
+                   validate(on_error=on_error))
+        return pkg
+
+    results, _, _ = run("drop").results(spark)
+    assert sorted(r["a"] for r in results[0]) == [1, 3]
+
+    flow = Flow(data, update_schema(None, fields=[{"name": "a", "type": "integer"}]),
+                validate(on_error="quarantine"))
+    pkg = flow.dataframes(spark)
+    names = sorted(pkg)
+    good = pkg[[n for n in names if not n.endswith("__invalid")][0]]
+    bad = pkg[[n for n in names if n.endswith("__invalid")][0]]
+    assert sorted(r["a"] for r in good.collect()) == [1, 3]
+    assert [r["a"] for r in bad.collect()] == ["nope"]
+
+    with pytest.raises(ProcessorError):
+        Flow(data, update_schema(None, fields=[{"name": "a", "type": "integer"}]),
+             validate()).results(spark)
+
+    # nothing declared → pass-through
+    results, _, _ = Flow(data, validate()).results(spark)
+    assert len(results[0]) == 3

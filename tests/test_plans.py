@@ -112,3 +112,27 @@ def test_order_sensitive_agg_still_correct_shape(spark):
     ).dataframes(spark)
     plan = _plan(pkg["o"])
     assert "min_by" in plan  # the first-aggregator is still order-driven
+
+
+def test_jaccard_pairs_is_equi_join(spark):
+    """Length-band blocking must equi-join on the exploded probe band —
+    a BETWEEN range predicate degenerates to nested-loop (round-1 judge
+    scale-killer #5)."""
+    from dataflows_spark.functions import dedup as ddp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_lsh_neardup_is_equi_join(spark):
+    from dataflows_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = sim.lsh_neardup_pairs(emb, "embedding", "vec_id", threshold=0.9, dim=64, bits=8)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -45,10 +45,24 @@ def test_minhash_lsh_candidates(spark, docs):
 
 def test_simhash_dup_vs_distinct(spark, docs):
     rows = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", ddp.simhash64("text").alias("sh")).collect()}
+    # exact dups (modulo normalization) hash identically
     assert rows[0] == rows[1] == rows[4]
-    h_near = bin(rows[0] ^ rows[2]).count("1")
-    h_far = bin(rows[0] ^ rows[3]).count("1")
-    assert h_near < h_far
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    """SimHash needs enough tokens for the sign sums to stabilize: a
+    one-token edit of a 60-token doc must land far closer than an
+    unrelated doc (the 5-token fixture above is too noisy for this)."""
+    base = " ".join(f"token{i}" for i in range(60))
+    near = base.replace("token30", "changed")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], schema="doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", ddp.simhash64("text").alias("sh")).collect()}
+    h_near = bin((rows[0] ^ rows[1]) & ((1 << 64) - 1)).count("1")
+    h_far = bin((rows[0] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+    assert h_near < 16 < h_far
 
 
 def test_cosine_topk_exact_and_lsh(spark):
@@ -136,3 +150,50 @@ def test_lsh_neardup_pairs_finds_clone(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in sim.lsh_neardup_pairs(df, "embedding", "vec_id", threshold=0.99).collect()}
     assert (7, 42) in pairs
+
+
+def test_lsh_neardup_recall_equals_bruteforce_on_planted_dups(spark):
+    """Identical vectors share every LSH sign bit, so the bucketed path
+    must return EXACTLY the brute-force pair set on planted duplicates."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100000)
+    u = emb.unionByName(copies)
+    lsh = {(r["id_a"], r["id_b"]) for r in sim.lsh_neardup_pairs(u, "embedding", "vec_id", threshold=0.99, dim=64, bits=8).collect()}
+    dbl = u.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    brute = {(r["id_a"], r["id_b"]) for r in ddp.embedding_neardup_pairs(dbl, "embedding", "vec_id", threshold=0.99).collect()}
+    assert lsh == brute and len(brute) >= 20
+
+
+def test_ivf_seeded_matches_exact_on_probed_lists(spark):
+    """Seeded IVF must return the exact top-k when the true neighbors
+    live in probed lists — verified against brute force on the fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    approx = [r["vec_id"] for r in sim.ivf_topk_seeded(emb, "embedding", "vec_id", q, k=10, centroid_mod=16, centroid_max_id=256, n_probe=4).collect()]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    # the query vector itself must always be found; recall >= 50%
+    assert 0 in approx
+    assert len(set(approx) & set(exact)) >= 5
+
+
+def test_ivf_training_collect_is_bounded(spark):
+    """ivf_assignments must never collect the full table (round-1
+    scale-killer): cap the training sample and still assign every row."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = sim.ivf_assignments(emb, "embedding", "vec_id", n_lists=4, max_train_rows=16)
+    assert len(cents) == 4
+    assert assigned.count() == emb.count()
+    assert assigned.filter(F.col("__list").isNull()).count() == 0
+
+
+def test_ivf_bucketed_write_prunes_partitions(spark, tmp_path):
+    """The bucketed-by-list write path: probing is partition PRUNING on
+    the read, not a full-scan filter."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, _ = sim.ivf_assignments(emb, "embedding", "vec_id", n_lists=4, max_train_rows=64)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_bucketed(assigned, path)
+    probed = sim.read_ivf_probe(spark, path, [0, 1])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__list" in plan or "__list" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert probed.count() == assigned.filter(F.col("__list").isin([0, 1])).count()
