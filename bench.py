@@ -188,6 +188,40 @@ def run_headline_queries() -> dict[str, float]:
     return out
 
 
+def compare_block(result: dict, baseline_path: str) -> dict:
+    """Per-query regression check vs a prior BENCH_r{N}.json: ratios
+    current/previous, flagging anything >1.3× slower (the round-round
+    discipline mandated by the round-1 verdict #10). Host steal-time
+    makes single readings wobble — see BENCH/BASELINE.md — so flags are
+    a review trigger, not an automatic failure."""
+    with open(baseline_path) as fh:
+        prev = json.load(fh)
+    prev = prev.get("parsed", prev)  # driver-recorded BENCH_r{N}.json wraps the line
+    pq = prev.get("queries", {})
+    ratios = {}
+    regressions = []
+    for name, sec in result["queries"].items():
+        if name in pq and pq[name] > 0:
+            r = round(sec / pq[name], 3)
+            ratios[name] = r
+            if r > 1.3:
+                regressions.append(name)
+    headline_ratio = None
+    if prev.get("value"):
+        headline_ratio = round(prev["value"] / max(result["value"], 1e-9), 3)  # prev/cur clips-per-sec
+    block = {
+        "baseline": os.path.basename(baseline_path),
+        "per_query_ratio_cur_over_prev": ratios,
+        "regressions_gt_1p3x": regressions,
+        "headline_throughput_vs_prev": headline_ratio,
+    }
+    print(f"-- compare vs {baseline_path} --", file=sys.stderr)
+    for name in sorted(ratios):
+        flag = "  <-- REGRESSION" if name in regressions else ""
+        print(f"{name:>24}: {pq[name]:7.3f}s -> {result['queries'][name]:7.3f}s  x{ratios[name]:.2f}{flag}", file=sys.stderr)
+    return block
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--chain":
         cores, timed_runs = int(sys.argv[2]), int(sys.argv[3])
@@ -195,6 +229,9 @@ def main() -> None:
         print("CHAIN_RESULT " + json.dumps({"cores": cores, "sec": round(sec, 2), "clips": n}))
         return
 
+    compare_to = None
+    if "--compare" in sys.argv:
+        compare_to = sys.argv[sys.argv.index("--compare") + 1]
     ensure_clips()
     r32 = run_chain_subprocess(32, 3)
     r8 = run_chain_subprocess(8, 3)
@@ -224,6 +261,12 @@ def main() -> None:
             "note": "each level runs CPU-pinned (taskset) in its own process; see BENCH/BASELINE.md",
         },
     }
+    if compare_to is None and os.path.exists(os.path.join(REPO, "BENCH_r01.json")):
+        # default: diff against the most recent recorded round
+        rounds = sorted(f for f in os.listdir(REPO) if f.startswith("BENCH_r") and f.endswith(".json"))
+        compare_to = os.path.join(REPO, rounds[-1])
+    if compare_to:
+        result["compare"] = compare_block(result, compare_to)
     print(json.dumps(result))
 
 

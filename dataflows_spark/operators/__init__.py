@@ -2,7 +2,7 @@
 (``dataflows/processors/__init__.py:1-33``) re-expressed Spark-first,
 plus engine extensions (streaming, training-data ops)."""
 
-from .dump import checkpoint, dump_to_path, dump_to_sql, stream
+from .dump import checkpoint, dump_to_path, dump_to_sql, dump_to_zip, stream
 from .fields import (
     add_computed_field,
     add_field,
@@ -47,6 +47,7 @@ __all__ = [
     "delete_resource",
     "dump_to_path",
     "dump_to_sql",
+    "dump_to_zip",
     "duplicate",
     "filter_rows",
     "finalizer",

@@ -11,8 +11,10 @@ Parity targets:
   if the checkpoint exists, everything upstream is replaced by a read
   (``checkpoint.py:36-47``, invoked from ``base/flow.py:21-28``);
   proven by reference ``tests/test_lib.py:961-1006``.
-- dump_to_sql upsert mode (``to_sql.py:103-140``) is re-expressed as
-  the keyed-merge sink in ``dataflows_spark.streaming.sink``.
+- dump_to_sql (``to_sql.py:103-140``): rewrite/append via Spark's
+  parallel JDBC writer; update = staged bulk write + one set-based
+  ``MERGE INTO`` on the server (tested against embedded Derby). The
+  file-backed analog is ``dataflows_spark.streaming.sink.KeyedMergeSink``.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ class dump_to_path(Stage):
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
         options: dict[str, Any] | None = None,
+        add_filehash_to_path: bool = False,
     ):
         self.out_path = out_path
         self.format = format
@@ -66,12 +69,41 @@ class dump_to_path(Stage):
         self.partition_by = partition_by
         self.mode = mode
         self.options = options or {}
+        # reference dumper_base.py:67-75 / file_dumper.py: content-hash
+        # the dump and nest the output under it (cache-busting layout)
+        self.add_filehash_to_path = add_filehash_to_path
+
+    @staticmethod
+    def _dir_stats(path: str) -> tuple[int, str]:
+        """(total bytes, stable content hash) of a written resource dir:
+        md5 over the sorted per-part md5s, so the hash is independent of
+        walk order (parquet part files are themselves deterministic for a
+        deterministic plan + partitioning)."""
+        import hashlib
+
+        part_hashes = []
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                full = os.path.join(root, f)
+                total += os.path.getsize(full)
+                h = hashlib.md5()
+                with open(full, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                part_hashes.append(h.hexdigest())
+        agg = hashlib.md5(",".join(sorted(part_hashes)).encode()).hexdigest()
+        return total, agg
 
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         from pyspark.sql import Observation
 
         os.makedirs(self.out_path, exist_ok=True)
         counters: dict[str, int] = {}
+        byte_counters: dict[str, int] = {}
+        hash_counters: dict[str, str] = {}
         for rname in pkg.select_names(self.resources):
             df = pkg[rname]
             obs = Observation(f"dump_{rname}")
@@ -87,8 +119,28 @@ class dump_to_path(Stage):
             writer.save(target)
             pkg.resource_meta[rname]["_written"] = True
             pkg.resource_meta[rname]["path"] = target
+            pkg.resource_meta[rname]["format"] = self.format
             counters[rname] = obs.get.get("rows", 0)
+            byte_counters[rname], hash_counters[rname] = self._dir_stats(target)
         pkg.stats.setdefault("count_of_rows", {}).update(counters)
+        pkg.stats.setdefault("bytes", {}).update(byte_counters)
+        pkg.stats.setdefault("hash", {}).update(hash_counters)
+        final_path = self.out_path
+        if self.add_filehash_to_path:
+            import hashlib
+
+            pkg_hash = hashlib.md5(",".join(sorted(hash_counters.values())).encode()).hexdigest()
+            final_path = os.path.join(self.out_path, pkg_hash)
+            os.makedirs(final_path, exist_ok=True)
+            for entry in list(os.listdir(self.out_path)):
+                if entry != pkg_hash:
+                    os.rename(os.path.join(self.out_path, entry), os.path.join(final_path, entry))
+            for rname in pkg.select_names(self.resources):
+                pkg.resource_meta[rname]["path"] = os.path.join(final_path, rname)
+            pkg.stats.setdefault("dump", {})["hash"] = pkg_hash
+        # the manifest is written AFTER any hash-rename so its resource
+        # paths are the final on-disk locations (load(datapackage.json)
+        # follows them)
         manifest = {
             "meta": pkg.meta,
             "resources": pkg.select_names(self.resources),
@@ -97,9 +149,39 @@ class dump_to_path(Stage):
                 for k, v in pkg.resource_meta.items()
             },
         }
-        with open(os.path.join(self.out_path, "datapackage.json"), "w") as fh:
+        with open(os.path.join(final_path, "datapackage.json"), "w") as fh:
             json.dump(manifest, fh, indent=2, default=str)
-        pkg.stats.setdefault("dump", {})["path"] = self.out_path
+        pkg.stats.setdefault("dump", {})["path"] = final_path
+
+
+class dump_to_zip(Stage):
+    """Package the dump as a single zip archive (reference
+    ``processors/dumpers/to_zip.py``): a ``dump_to_path`` into a temp
+    dir, zipped with the datapackage.json manifest at the root.
+    Driver-side by construction — a zip is a distribution artifact, not
+    a scale-path sink (use dump_to_path/parquet for data)."""
+
+    name = "dump_to_zip"
+
+    def __init__(self, out_file: str, format: str = "csv", resources: Any = None, **kw: Any):
+        self.out_file = out_file
+        self.format = format
+        self.resources = resources
+        self.kw = kw
+
+    def process(self, ctx: Context, pkg: TablePackage) -> None:
+        import tempfile
+        import zipfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            inner = dump_to_path(tmp, format=self.format, resources=self.resources, **self.kw)
+            inner.process(ctx, pkg)
+            with zipfile.ZipFile(self.out_file, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(tmp):
+                    for f in sorted(files):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, tmp))
+        pkg.stats.setdefault("dump", {})["zip"] = self.out_file
 
 
 class stream(Stage):
@@ -168,9 +250,17 @@ class checkpoint(Stage):
 class dump_to_sql(Stage):
     """JDBC write with reference modes (``to_sql.py:103-140``):
     ``rewrite`` (overwrite) / ``append`` / ``update`` (upsert on
-    ``update_keys``). Without a JDBC URL available in-sandbox this stage
-    is exercised through its keyed-merge core, shared with the
-    exactly-once streaming sink (``dataflows_spark.streaming.sink``).
+    ``update_keys``).
+
+    ``update`` is a two-step idempotent upsert that scales with the
+    batch, not the target table: (1) the batch (deduped on the keys) is
+    bulk-written to a staging table through the normal parallel JDBC
+    path, (2) one set-based ``MERGE INTO target USING staging`` runs on
+    the server. This is the distributed re-expression of the reference's
+    per-row upsert loop (``to_sql.py:103-140``) — same row outcome, no
+    row-at-a-time round-trips. Exercised end-to-end against Derby
+    (embedded in Spark's classpath); the file-backed analog is
+    ``streaming.sink.KeyedMergeSink``.
     """
 
     name = "dump_to_sql"
@@ -187,19 +277,63 @@ class dump_to_sql(Stage):
         if not url.startswith("jdbc:"):
             raise RuntimeError(
                 "dump_to_sql requires a JDBC engine URL (jdbc:...); "
-                "for file-backed keyed upserts use streaming.sink.merge_into"
+                "for file-backed keyed upserts use streaming.sink.KeyedMergeSink"
             )
         for table_name, spec in self.tables.items():
             rname = spec.get("resource-name", table_name)
-            mode = {"rewrite": "overwrite", "append": "append"}.get(spec.get("mode", "rewrite"))
-            if mode is None:
-                raise NotImplementedError("update mode requires MERGE support on the target")
-            (
-                pkg[rname]
-                .write.format("jdbc")
-                .option("url", url)
-                .option("dbtable", table_name)
-                .mode(mode)
-                .save()
-            )
+            ref_mode = spec.get("mode", "rewrite")
+            if ref_mode == "update":
+                keys = spec.get("update_keys") or pkg.resource_meta.get(rname, {}).get("primaryKey")
+                if not keys:
+                    raise ValueError("dump_to_sql update mode needs update_keys or a primaryKey")
+                self._upsert(ctx, pkg[rname], url, table_name, list(keys))
+            else:
+                mode = {"rewrite": "overwrite", "append": "append"}[ref_mode]
+                self._write(pkg[rname], url, table_name, mode)
             pkg.resource_meta[rname]["_written"] = True
+
+    def _write(self, df, url: str, table: str, mode: str) -> None:
+        w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        w.save()
+
+    def _upsert(self, ctx: Context, df, url: str, table: str, keys: list[str]) -> None:
+        jvm = ctx.spark._jvm
+        staging = f"{table}__staging"
+        # late rows for the same key within one batch: last write wins is
+        # undefined server-side — dedup before the merge
+        batch = df.dropDuplicates(keys)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            meta = conn.getMetaData()
+            rs = meta.getTables(None, None, table.upper(), None)
+            target_exists = rs.next()
+            rs.close()
+        finally:
+            conn.close()
+        if not target_exists:
+            # first load: a plain parallel write IS the upsert
+            self._write(batch, url, table, "append")
+            return
+        self._write(batch, url, staging, "overwrite")
+        # Spark's JDBC writer quotes column identifiers verbatim but leaves
+        # the table name to the server's case folding — mirror that here
+        cols = batch.columns
+        on = " AND ".join(f't."{c}" = s."{c}"' for c in keys)
+        sets = ", ".join(f'"{c}" = s."{c}"' for c in cols if c not in keys)
+        ins_cols = ", ".join(f'"{c}"' for c in cols)
+        ins_vals = ", ".join(f's."{c}"' for c in cols)
+        merge = (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            + (f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else "")
+            + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.execute(merge)
+            st.execute(f"DROP TABLE {staging}")
+            st.close()
+        finally:
+            conn.close()

@@ -42,6 +42,8 @@ _EXT_FORMAT = {
     ".parquet": "parquet",
     ".orc": "orc",
     ".txt": "text",
+    ".xlsx": "xlsx",
+    ".xml": "xml",
 }
 
 
@@ -55,10 +57,15 @@ def _infer_format(source: str, explicit: str | None) -> str:
 class load(Stage):
     """Load a table as a new resource.
 
-    ``source`` is a path (csv/json/parquet/orc by extension), a
-    ``table://name`` catalog reference, or a ``jdbc://`` URL with
-    ``query=``/``dbtable=`` options. ``env://VAR`` resolves the source
-    from an environment variable (reference load.py env:// support).
+    ``source`` is a path (csv/json/parquet/orc/xlsx by extension), a
+    ``table://name`` catalog reference, a ``jdbc://`` URL with
+    ``query=``/``dbtable=`` options, or a ``datapackage.json`` manifest
+    (as written by ``dump_to_path``) which loads its named resources
+    with their saved metadata — reference load.py datapackage support.
+    ``env://VAR`` resolves the source from an environment variable
+    (reference load.py env:// support). ``sheet=`` selects the xlsx
+    worksheet (1-based index or name); ``resources=`` filters
+    datapackage resources.
     """
 
     name = "load"
@@ -75,19 +82,31 @@ class load(Stage):
         extract_missing_values: Any = None,
         override_schema: Any = None,
         infer_strategy: str | None = None,
+        cast_strategy: str | None = None,
+        override_fields: dict[str, Any] | None = None,
+        on_error: str | None = None,
+        sheet: Any = 1,
+        resources: Any = None,
         **options: Any,
     ):
         self.source = source
         self.res_name = name
         self.format = format
+        self.sheet = sheet
+        self.resources = resources
+        # reference load.py:55-63 knobs: per-field type overrides applied
+        # post-read as try_casts with schema_validator error policies
+        self.override_fields = override_fields
+        self.on_error = on_error
         self.schema = schema or override_schema
         self.strip = strip
         self.limit_rows = limit_rows
         self.deduplicate_headers = deduplicate_headers
         self.extract_missing_values = extract_missing_values
         # reference infer strategies (load.py:183-204): 'full' parses
-        # string sources into types, 'strings' keeps everything string
-        self.infer_strategy = infer_strategy
+        # string sources into types, 'strings' keeps everything string;
+        # cast_strategy is the reference alias for the same choice
+        self.infer_strategy = infer_strategy or cast_strategy
         self.options = options
 
     def _read(self, ctx: Context) -> DataFrame:
@@ -102,6 +121,12 @@ class load(Stage):
                 reader = reader.option(k, v)
             return reader.load()
         fmt = _infer_format(source, self.format)
+        if fmt == "xlsx":
+            from ..sources.xlsx import xlsx_to_dataframe
+
+            return xlsx_to_dataframe(ctx.spark, source, self.sheet)
+        if fmt == "xml":
+            return self._read_xml(ctx, source)
         reader = ctx.spark.read.format(fmt)
         if fmt == "csv":
             reader = reader.option("header", "true")
@@ -114,7 +139,63 @@ class load(Stage):
             reader = reader.option(k, v)
         return reader.load(source)
 
+    def _read_xml(self, ctx: Context, source: str) -> DataFrame:
+        """Row-oriented XML (reference custom XMLParser,
+        ``processors/parsers``): each repeated ``row_tag`` element is a
+        record; child elements/attributes become string fields. Parsed
+        on the driver via stdlib iterparse (XML is a small-file
+        interchange format — not a scale-path source; documented)."""
+        import xml.etree.ElementTree as ET
+
+        row_tag = self.options.get("row_tag", "row")
+        rows: list[dict] = []
+        cols: list[str] = []
+        for _event, el in ET.iterparse(source):
+            tag = el.tag.split("}")[-1]
+            if tag != row_tag:
+                continue
+            rec: dict[str, str] = dict(el.attrib)
+            for child in el:
+                rec[child.tag.split("}")[-1]] = child.text
+            for k in rec:
+                if k not in cols:
+                    cols.append(k)
+            rows.append(rec)
+            el.clear()
+        schema = ", ".join(f"`{c}` string" for c in cols) or "`value` string"
+        data = [tuple(r.get(c) for c in cols) for r in rows]
+        return ctx.spark.createDataFrame(data, schema=schema)
+
+    def _load_datapackage(self, ctx: Context, pkg: TablePackage, source: str) -> None:
+        import json
+
+        base = os.path.dirname(source)
+        with open(source) as fh:
+            manifest = json.load(fh)
+        pkg.meta.update(manifest.get("meta", {}))
+        wanted = manifest.get("resources", [])
+        if self.resources is not None:
+            sel = {self.resources} if isinstance(self.resources, str) else set(self.resources)
+            wanted = [r for r in wanted if r in sel]
+        for rname in wanted:
+            meta = dict(manifest.get("resource_meta", {}).get(rname, {}))
+            path = meta.get("path") or os.path.join(base, rname)
+            fmt = meta.get("format")
+            if fmt is None:  # older manifests: sniff from the part files
+                exts = {os.path.splitext(f)[1] for f in os.listdir(path) if not f.startswith(("_", "."))}
+                fmt = next((_EXT_FORMAT[e] for e in exts if e in _EXT_FORMAT), "parquet")
+            reader = ctx.spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", "true").option("inferSchema", "true")
+            pkg.add(rname, reader.load(path), **meta)
+
     def process(self, ctx: Context, pkg: TablePackage) -> None:
+        src = self.source
+        if src.startswith("env://"):
+            src = os.environ[src[6:]]
+        if os.path.basename(src) == "datapackage.json" or self.format == "datapackage":
+            self._load_datapackage(ctx, pkg, src)
+            return
         df = self._read(ctx)
         if self.deduplicate_headers:
             # reference naming (load.py:284-302): second 'a' → 'a (2)'.
@@ -159,6 +240,13 @@ class load(Stage):
             for f in df.schema.fields:
                 if isinstance(f.dataType, StringType):
                     df = df.withColumn(f.name, F.trim(F.col(f.name)))
+        if self.override_fields:
+            from .transforms import _cast_with_on_error
+
+            for fname, spec in self.override_fields.items():
+                dtype = spec.get("type") if isinstance(spec, dict) else spec
+                if fname in df.columns and dtype:
+                    df = _cast_with_on_error(df, fname, dtype, self.on_error)
         if self.limit_rows:
             df = df.limit(self.limit_rows)
         rname = self.res_name or os.path.splitext(os.path.basename(self.source.rstrip("/")))[0]

@@ -97,22 +97,77 @@ class update_stats(Stage):
 
 class printer(Stage):
     """Show sample rows while passing resources through (reference
-    ``printer.py:38-88``)."""
+    ``printer.py:38-88``): first ``num_rows``, an ellipsis row, the
+    final ``last_rows``, cells truncated to ``max_cell_size``, rendered
+    with ``tablefmt`` ('plain' | 'simple' | 'grid'). ``header_print``
+    receives the resource title line."""
 
     name = "printer"
 
-    def __init__(self, num_rows: int = 10, fields: list[str] | None = None, resources: Any = None, **_: Any):
+    def __init__(
+        self,
+        num_rows: int = 10,
+        last_rows: int | None = None,
+        fields: list[str] | None = None,
+        resources: Any = None,
+        max_cell_size: int = 100,
+        tablefmt: str = "simple",
+        header_print: Any = None,
+        **_: Any,
+    ):
         self.num_rows = num_rows
+        self.last_rows = last_rows
         self.fields = fields
         self.resources = resources
+        self.max_cell_size = max_cell_size
+        self.tablefmt = tablefmt
+        self.header_print = header_print or (lambda title: print(f"{title}:"))
+
+    def _cell(self, v: Any) -> str:
+        s = "" if v is None else str(v)
+        if len(s) > self.max_cell_size:
+            s = s[: self.max_cell_size - 3] + "..."
+        return s
+
+    def _render(self, header: list[str], rows: list[list[str]]) -> str:
+        widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h) for i, h in enumerate(header)]
+
+        def line(cells, sep="  "):
+            return sep.join(c.ljust(w) for c, w in zip(cells, widths)).rstrip()
+
+        if self.tablefmt == "grid":
+            bar = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+            out = [bar, "| " + " | ".join(h.ljust(w) for h, w in zip(header, widths)) + " |", bar]
+            for r in rows:
+                out.append("| " + " | ".join(c.ljust(w) for c, w in zip(r, widths)) + " |")
+            out.append(bar)
+            return "\n".join(out)
+        out = [line(header)]
+        if self.tablefmt == "simple":
+            out.append(line(["-" * w for w in widths]))
+        out.extend(line(r) for r in rows)
+        return "\n".join(out)
 
     def process(self, ctx: Context, pkg: TablePackage) -> None:
         for rname in pkg.select_names(self.resources):
             df = pkg[rname]
             if self.fields:
                 df = df.select(*self.fields)
-            print(f"-- {rname} --")
-            df.show(self.num_rows, truncate=40)
+            header = ["#"] + list(df.columns)
+            head = df.limit(self.num_rows + 1).collect()
+            truncated = len(head) > self.num_rows
+            body = [
+                [str(i + 1)] + [self._cell(r[c]) for c in df.columns]
+                for i, r in enumerate(head[: self.num_rows])
+            ]
+            if self.last_rows and truncated:
+                tail = df.tail(self.last_rows)
+                body.append(["..."] * len(header))
+                body.extend([""] + [self._cell(r[c]) for c in df.columns] for r in tail)
+            elif truncated:
+                body.append(["..."] * len(header))
+            self.header_print(rname)
+            print(self._render(header, body))
 
 
 class conditional(Stage):

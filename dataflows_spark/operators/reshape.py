@@ -174,8 +174,11 @@ class deduplicate(Stage):
 
 class sort_rows(Stage):
     """Sort a resource (reference ``sort_rows.py``). ``key`` is a field
-    list or a ``'{a}{b}'`` format string (typed columns are compared
-    natively — the reference's IEEE-754 bit trick is unnecessary).
+    list, a ``'{a}{b}'`` format string (typed columns are compared
+    natively — the reference's IEEE-754 bit trick is unnecessary), or a
+    CALLABLE ``row → sortable`` (reference key-function support): the
+    callable runs once per row in an Arrow-batched stage to materialize
+    a sort-key column (slow path, documented), then Spark sorts on it.
     Stability: appends scan order as the final tiebreaker (reference
     :55-57)."""
 
@@ -186,7 +189,45 @@ class sort_rows(Stage):
         self.resources = resources
         self.reverse = reverse
 
+    def _callable_key(self, ctx: Context, rname: str, df):
+        from .udf import row_mapper
+
+        fn = self.key
+        first = df.head()
+        if first is None:
+            return df
+        from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+        probe = fn(first.asDict(recursive=True))
+        if isinstance(probe, int) and not isinstance(probe, bool):
+            ktype, kdt = "int", LongType()
+        elif isinstance(probe, float):
+            ktype, kdt = "float", DoubleType()
+        else:
+            ktype, kdt = "string", StringType()
+
+        def add_key(row, fn=fn, ktype=ktype):
+            v = fn(dict(row))
+            if ktype == "float" and v is not None:
+                v = float(v)
+            row["__sortkey__"] = v if ktype != "string" else (None if v is None else str(v))
+            return row
+
+        # a fresh StructType — StructType.add would mutate df.schema itself
+        schema = StructType(list(df.schema.fields) + [StructField("__sortkey__", kdt)])
+        p = TablePackage()
+        p.add(rname, df)
+        row_mapper(add_key, schema=schema).process(ctx, p)
+        out = p[rname].withColumn("__ord__", F.monotonically_increasing_id())
+        cols = [F.col("__sortkey__"), F.col("__ord__")]
+        if self.reverse:
+            cols = [c.desc() for c in cols]
+        return out.orderBy(*cols).drop("__sortkey__", "__ord__")
+
     def process(self, ctx: Context, pkg: TablePackage) -> None:
+        if callable(self.key) and not isinstance(self.key, (str, list)):
+            pkg.apply(lambda rname, df: self._callable_key(ctx, rname, df), self.resources)
+            return
         fields = (
             self.key
             if isinstance(self.key, list)

@@ -9,6 +9,7 @@ from .stages import (
     watermark,
     window_agg,
 )
+from .stateful import latest_revision_coalescer, windowed_counters_stream
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
@@ -26,4 +27,6 @@ __all__ = [
     "start_exactly_once_query",
     "stream_stream_join",
     "tumbling_window_agg",
+    "latest_revision_coalescer",
+    "windowed_counters_stream",
 ]

@@ -59,3 +59,64 @@ def latest_revision_coalescer(revisions: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _counters_fn_factory(value_col: str, key_cols: list[str]):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        *ks, wstart, wend = key
+        out_cols = [*key_cols, "window_start", "window_end", "counters"]
+        if state.hasTimedOut:
+            vals, cnts = state.get
+            state.remove()
+            pairs = sorted(zip(vals, cnts), key=lambda x: (-x[1], x[0]))
+            rendered = ",".join(f"{v}:{c}" for v, c in pairs)
+            yield pd.DataFrame([dict(zip(out_cols, [*ks, wstart, wend, rendered]))])
+            return
+        d: dict[str, int] = dict(zip(*state.get)) if state.exists else {}
+        for pdf in pdfs:
+            for v, c in pdf[value_col].dropna().astype(str).value_counts().items():
+                d[v] = d.get(v, 0) + int(c)
+        state.update((list(d.keys()), [int(d[k]) for k in d]))
+        # evict (and emit final counters) once the event-time watermark
+        # passes the window end — the streaming analog of the batch
+        # two-phase counters' final aggregation. Window bounds arrive as
+        # naive UTC datetimes (session TZ is pinned UTC) → epoch via timegm
+        import calendar
+
+        state.setTimeoutTimestamp(calendar.timegm(wend.timetuple()) * 1000)
+        yield pd.DataFrame(columns=out_cols)
+
+    return fn
+
+
+def windowed_counters_stream(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    value_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ``counters`` aggregator (reference join.py:117-122
+    semantics) over tumbling windows — the two-phase batch shape can't
+    run on a stream (chained stateful aggregations), so the per-window
+    value→count map lives in EXPLICIT bounded state
+    (``applyInPandasWithState``): updated per micro-batch, emitted once
+    as a count-desc/value-asc string when the watermark passes the
+    window end, then evicted. State size = distinct values per live
+    window, not rows."""
+    from pyspark.sql import functions as F
+
+    src = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), duration)
+    src = src.withColumn("__wstart", w.start).withColumn("__wend", w.end)
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"`{k}` {ftypes[k]}" for k in keys)
+    out_schema = f"{key_ddl}, window_start timestamp, window_end timestamp, counters string"
+    return src.groupBy(*keys, "__wstart", "__wend").applyInPandasWithState(
+        _counters_fn_factory(value_col, keys),
+        outputStructType=out_schema,
+        stateStructType="vals array<string>, cnts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

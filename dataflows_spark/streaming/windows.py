@@ -57,8 +57,14 @@ def _apply(df: DataFrame, window_col: Column, keys: list[str], fields: dict[str,
     counters = {f: s for f, s in fields.items() if s["aggregate"] == "counters"}
     if counters and df.isStreaming:
         # two-phase counters = chained stateful aggregations — unsupported
-        # on a stream; batch windows support it below
-        raise NotImplementedError("counters aggregator in STREAMING windows; use batch or foreachBatch")
+        # on a stream; the stateful re-expression is
+        # streaming.stateful.windowed_counters_stream (explicit state +
+        # event-time eviction)
+        raise NotImplementedError(
+            "counters in STREAMING windows: use "
+            "dataflows_spark.streaming.stateful.windowed_counters_stream "
+            "(tumbling) or batch/foreachBatch"
+        )
     exprs = [_windowed_agg_expr(s["aggregate"], s["name"], f, ts_col) for f, s in main.items()]
     grouped = df.groupBy(window_col.alias("window"), *[F.col(k) for k in keys])
     out = grouped.agg(*exprs) if exprs else grouped.agg(F.count(F.lit(1)).alias("__n__")).drop("__n__")

@@ -271,3 +271,28 @@ def test_validate_noargs_recasts_against_schema(spark):
     # nothing declared → pass-through
     results, _, _ = Flow(data, validate()).results(spark)
     assert len(results[0]) == 3
+
+
+def test_sort_rows_callable_key(spark):
+    data = [{"a": "xx", "n": 3}, {"a": "y", "n": 10}, {"a": "zzz", "n": 2}]
+    results, _, _ = Flow(data, sort_rows(lambda r: len(r["a"]) * 100 + r["n"])).results(spark)
+    assert [r["a"] for r in results[0]] == ["y", "xx", "zzz"]
+    results, _, _ = Flow(data, sort_rows(lambda r: -r["n"])).results(spark)
+    assert [r["n"] for r in results[0]] == [10, 3, 2]
+
+
+def test_printer_parity(spark, capsys):
+    from dataflows_spark import printer
+
+    data = [{"i": i, "txt": "x" * 200} for i in range(30)]
+    Flow(data, printer(num_rows=3, last_rows=2, max_cell_size=20, tablefmt="grid")).results(spark)
+    out = capsys.readouterr().out
+    assert "res_1:" in out
+    assert "..." in out            # ellipsis row + cell truncation
+    assert "+" in out and "|" in out  # grid format
+    lines = [ln for ln in out.splitlines() if "|" in ln]
+    assert all(len(ln) <= 120 for ln in lines)  # cells truncated
+    # plain format, no truncation marker when all rows shown
+    Flow([{"i": 1}], printer(num_rows=5, tablefmt="plain")).results(spark)
+    out2 = capsys.readouterr().out
+    assert "..." not in out2 and "|" not in out2

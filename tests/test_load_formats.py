@@ -1,0 +1,145 @@
+"""load format surface: xlsx (stdlib OOXML parser) and datapackage://
+round trips — reference processors/load.py:130-137 format dispatch and
+the tests/test_lib.py load matrix."""
+
+from pyspark.sql import functions as F
+
+from dataflows_spark import Flow, dump_to_path, load, set_primary_key
+from dataflows_spark.sources.xlsx import read_xlsx, write_xlsx
+
+
+def test_xlsx_roundtrip_types(spark, tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        path,
+        ["name", "qty", "price", "active", "note"],
+        [
+            ["ab & <c>", 3, 1.5, True, None],
+            ["d", 4, 2.0, False, "hi"],
+            [None, 5, 2.25, True, "yo"],
+        ],
+    )
+    header, rows = read_xlsx(path)
+    assert header == ["name", "qty", "price", "active", "note"]
+    assert rows[0][0] == "ab & <c>" and rows[0][1] == 3 and rows[0][3] is True
+
+    pkg = Flow(load(path, name="sheet")).dataframes(spark)
+    df = pkg["sheet"]
+    assert dict(df.dtypes) == {
+        "name": "string", "qty": "bigint", "price": "double",
+        "active": "boolean", "note": "string",
+    }
+    got = sorted((r["qty"], r["price"]) for r in df.collect())
+    assert got == [(3, 1.5), (4, 2.0), (5, 2.25)]
+
+
+def test_xlsx_sheet_by_name(spark, tmp_path):
+    path = str(tmp_path / "s.xlsx")
+    write_xlsx(path, ["a"], [[1], [2]], sheet_name="data")
+    header, rows = read_xlsx(path, sheet="data")
+    assert header == ["a"] and [r[0] for r in rows] == [1, 2]
+
+
+def test_datapackage_roundtrip_by_name(spark, tmp_path):
+    out = str(tmp_path / "pkg")
+    Flow(
+        load("/root/testdata/sf0.001/nation.parquet", name="nation"),
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        set_primary_key(["n_nationkey"], resources="nation"),
+        dump_to_path(out),
+    ).process(spark)
+
+    pkg = Flow(load(f"{out}/datapackage.json")).dataframes(spark)
+    assert set(pkg.names) == {"nation", "region"}
+    assert pkg.resource_meta["nation"]["primaryKey"] == ["n_nationkey"]
+    n = pkg["nation"]
+    orig = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    assert n.count() == orig.count()
+    assert set(n.columns) == set(orig.columns)
+
+    only = Flow(load(f"{out}/datapackage.json", resources="region")).dataframes(spark)
+    assert only.names == ["region"]
+
+
+def test_datapackage_csv_resources(spark, tmp_path):
+    out = str(tmp_path / "pkgcsv")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out, format="csv"),
+    ).process(spark)
+    pkg = Flow(load(f"{out}/datapackage.json")).dataframes(spark)
+    assert pkg["region"].count() == 5
+
+
+def test_load_override_fields_with_on_error(spark, tmp_path):
+    """reference load.py:55-63: per-field type overrides + error policy."""
+    p = str(tmp_path / "m.csv")
+    with open(p, "w") as fh:
+        fh.write("id,v\n1,10\n2,xx\n3,30\n")
+    pkg = Flow(
+        load(p, name="m", infer_strategy="strings",
+             override_fields={"v": "integer"}, on_error="drop"),
+    ).dataframes(spark)
+    rows = sorted((r["id"], r["v"]) for r in pkg["m"].collect())
+    assert rows == [("1", 10), ("3", 30)]
+    # clear: failed cast nulls the value, row kept
+    pkg = Flow(
+        load(p, name="m", cast_strategy="strings",
+             override_fields={"v": {"type": "integer"}}, on_error="clear"),
+    ).dataframes(spark)
+    rows = {r["id"]: r["v"] for r in pkg["m"].collect()}
+    assert rows == {"1": 10, "2": None, "3": 30}
+
+
+def test_dump_counters_bytes_and_hash(spark, tmp_path):
+    """reference dumper_base.py:67-75 counter parity: rows + bytes +
+    content hash; add_filehash_to_path nests the dump under its hash."""
+    out = str(tmp_path / "d1")
+    _, stats = Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out),
+    ).process(spark)
+    assert stats["count_of_rows"]["region"] == 5
+    assert stats["bytes"]["region"] > 0
+    assert len(stats["hash"]["region"]) == 32
+
+    out2 = str(tmp_path / "d2")
+    _, stats2 = Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out2, add_filehash_to_path=True),
+    ).process(spark)
+    h = stats2["dump"]["hash"]
+    assert stats2["dump"]["path"] == f"{out2}/{h}"
+    import os as _os
+    assert _os.path.exists(f"{out2}/{h}/datapackage.json")
+    reread = Flow(load(f"{out2}/{h}/datapackage.json")).dataframes(spark)
+    assert reread["region"].count() == 5
+
+
+def test_dump_to_zip_roundtrip(spark, tmp_path):
+    """reference dumpers/to_zip.py: csv + datapackage.json inside one zip."""
+    import zipfile
+
+    from dataflows_spark import dump_to_zip
+
+    out = str(tmp_path / "pkg.zip")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_zip(out, format="csv"),
+    ).process(spark)
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+        assert "datapackage.json" in names
+        assert any(n.startswith("region/") and n.endswith(".csv") for n in names)
+
+
+def test_load_xml_rows(spark, tmp_path):
+    p = str(tmp_path / "t.xml")
+    with open(p, "w") as fh:
+        fh.write(
+            "<root><row id=\"1\"><name>a</name><qty>3</qty></row>"
+            "<row id=\"2\"><name>b</name><qty>4</qty></row></root>"
+        )
+    pkg = Flow(load(p, name="t", override_fields={"qty": "integer"})).dataframes(spark)
+    rows = sorted((r["id"], r["name"], r["qty"]) for r in pkg["t"].collect())
+    assert rows == [("1", "a", 3), ("2", "b", 4)]

@@ -282,3 +282,31 @@ def test_tumbling_window_counters_batch(spark):
     got = {r["window_start"].minute: [(e["value"], e["count"]) for e in r["k_counts"]] for r in out}
     assert got[0] == [("a", 2), ("b", 1)] or got[0] == [("b", 1), ("a", 2)][::-1]
     assert got[0][0] == ("a", 2)  # count-desc first
+
+
+def test_windowed_counters_stream_matches_batch(spark, tmp_path):
+    """Streaming counters (explicit state + event-time eviction) must
+    render the same count-desc/value-asc result as the batch two-phase
+    counters for a closed window."""
+    from dataflows_spark.streaming.stateful import windowed_counters_stream
+
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "wc")
+    schema = "k string, v string, ts timestamp"
+    _write_batch(spark, [("a", "x", TS(2024, 1, 1, 0, 1)), ("a", "x", TS(2024, 1, 1, 0, 2)),
+                         ("a", "y", TS(2024, 1, 1, 0, 3))], schema, in_dir, "b1")
+    _write_batch(spark, [("a", "z", TS(2024, 1, 1, 0, 30))], schema, in_dir, "b2")
+    _write_batch(spark, [("a", "z", TS(2024, 1, 1, 1, 0))], schema, in_dir, "b3")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    counted = windowed_counters_stream(stream, "ts", "5 minutes", ["k"], "v", watermark="1 minute")
+    sink = ExactlyOnceParquetSink(out)
+    q = (
+        counted.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["k"], r["window_start"]): r["counters"] for r in sink.read(spark).collect()}
+    assert rows[("a", TS(2024, 1, 1, 0, 0))] == "x:2,y:1"
