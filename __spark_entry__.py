@@ -395,6 +395,13 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", "lang", txt.lang_id("text").alias("lang_guess"))
 
 
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style quality heuristic (length band + punct sanity + stopword
+    presence), pure Catalyst — oracle mirrors each boolean and the /3."""
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return docs.select("doc_id", txt.quality_score("text").alias("quality"))
+
+
 def _docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:
     """documents ∪ copies of doc_id<50 (shifted ids) — deterministic
     duplicates for the dedup queries; oracle mirrors the same union."""
@@ -707,6 +714,7 @@ _QUERIES = {
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -973,6 +981,19 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(concat('0x', substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp_int FROM documents"
     )
     sql["lang_id"] = _lang_sql()
+    _en = "'the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'"
+    sql["quality_score"] = (
+        f"WITH t AS (SELECT doc_id, text, {_NORM} AS norm FROM documents), "
+        f"r AS (SELECT doc_id, "
+        f"  CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END AS length_ok, "
+        f"  CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1) <= 0.2 "
+        f"       THEN 1.0 ELSE 0.0 END AS punct_ok, "
+        f"  CASE WHEN (CASE WHEN length(norm) = 0 THEN 0.0 "
+        f"       ELSE len(list_filter(string_split(norm, ' '), x -> list_contains([{_en}], x)))::DOUBLE "
+        f"            / len(string_split(norm, ' ')) END) >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok "
+        f"FROM t) "
+        f"SELECT doc_id, (length_ok + punct_ok + stop_ok) / 3.0 AS quality FROM r"
+    )
     sql["exact_dedup"] = (
         f"SELECT doc_id FROM ("
         f"  SELECT doc_id, row_number() OVER ("

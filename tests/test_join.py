@@ -182,3 +182,35 @@ def test_join_full_outer_format_keys_reconstructs_target_key(spark):
         {"h": "Lannister", "seat": "Casterly Rock", "max_age": 30.0},
         {"h": "Stark", "seat": "Winterfell", "max_age": None},
     ]
+
+
+def test_join_with_self_decimal_exact_parity(spark):
+    """SURVEY §7.4 item 4 — 'number' fields cast to DecimalType give
+    EXACT aggregation like the reference's Decimal goldens
+    (tests/test_lib.py:1646-1654: avg_age Decimal('31.666...67')).
+    Spark's decimal avg carries scale 22 (p+4/s+4 capped at 38) vs
+    Python's 28-significant-digit context — same exact rational,
+    documented quantization difference."""
+    from decimal import Decimal
+
+    from dataflows_spark import Context, set_type
+    from dataflows_spark.core.package import TablePackage
+
+    pkg = TablePackage()
+    pkg.add("characters", _characters_df(spark))
+    set_type("age", type="decimal").process(Context(spark), pkg)
+    join_with_self(
+        "characters",
+        ["house"],
+        {
+            "house": None,
+            "avg_age": {"name": "age", "aggregate": "avg"},
+            "max_age": {"name": "age", "aggregate": "max"},
+        },
+    ).process(Context(spark), pkg)
+    rows = {r["house"]: r for r in pkg["characters"].collect()}
+    lan = rows["Lannister"]
+    assert lan["avg_age"] == Decimal("31.6666666666666666666667")  # exact, not 31.666666666666668
+    assert lan["max_age"] == Decimal(34)
+    assert rows["Stark"]["avg_age"] == Decimal("11.4")
+    assert rows["Targaryen"]["avg_age"] == Decimal(16)

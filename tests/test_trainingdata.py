@@ -197,3 +197,66 @@ def test_ivf_bucketed_write_prunes_partitions(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(__list" in plan or "__list" in plan.split("PartitionFilters")[1].split("]")[0]
     assert probed.count() == assigned.filter(F.col("__list").isin([0, 1])).count()
+
+
+def _ppm(w, h, seed):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    return mm.encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+
+
+def test_multimodal_real_netpbm_decode(spark):
+    """REAL decode path: PPM/PGM payloads produce true dimensions and
+    mean intensity (decoded=True); resize re-encodes at target size."""
+    img = _ppm(32, 16, 7)
+    gray = mm.encode_ppm(np.full((8, 12, 1), 100, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("a", bytearray(img)), ("g", bytearray(gray)), ("z", b"\x00unknown" + b"x" * 100)],
+        schema="clip_id string, bytes binary",
+    )
+    feats = {r["clip_id"]: r for r in mm.image_features(df).collect()}
+    assert (feats["a"]["width"], feats["a"]["height"], feats["a"]["channels"], feats["a"]["decoded"]) == (32, 16, 3, True)
+    exp = float(mm.decode_ppm(img).mean() / 255.0)
+    assert abs(feats["a"]["mean_intensity"] - exp) < 1e-12
+    assert (feats["g"]["width"], feats["g"]["channels"]) == (12, 1)
+    assert abs(feats["g"]["mean_intensity"] - 100 / 255.0) < 1e-12
+    assert feats["z"]["decoded"] is False  # fake fallback, labeled
+
+    resized = {r["clip_id"]: bytes(r["bytes"]) for r in mm.resize_images(df, size=(8, 8)).collect()}
+    out = mm.decode_ppm(resized["a"])
+    assert out.shape == (8, 8, 3)
+
+    # strict mode refuses unknown payloads instead of faking
+    with pytest.raises(Exception):
+        mm.image_features(df, strict=True).collect()
+
+
+def test_multimodal_video_frame_extraction_real(spark):
+    """Concatenated-PPM container: real frame demux + every_n sampling."""
+    frames = [_ppm(6, 4, s) for s in range(10)]
+    video = b"".join(frames)
+    df = spark.createDataFrame([("v1", bytearray(video))], schema="clip_id string, bytes binary")
+    out = mm.sample_video_frames(df, every_n=3).collect()
+    idx = sorted(r["frame_idx"] for r in out)
+    assert idx == [0, 3, 6, 9]
+    got = {r["frame_idx"]: bytes(r["frame_bytes"]) for r in out}
+    assert got[3] == frames[3]
+    assert mm.decode_ppm(got[6]).shape == (4, 6, 3)
+
+
+def test_multimodal_pluggable_decoder_contract(spark):
+    """register_image_decoder is the extension point real deployments
+    use for PIL/opencv — inject a toy codec and watch the kernel
+    dispatch to it."""
+    mm.register_image_decoder(
+        b"TOY1", lambda raw: np.frombuffer(raw[4:], dtype=np.uint8).reshape(2, 2, 1)
+    )
+    try:
+        df = spark.createDataFrame(
+            [("t", bytearray(b"TOY1" + bytes([10, 20, 30, 40])))],
+            schema="clip_id string, bytes binary",
+        )
+        r = mm.image_features(df, strict=True).collect()[0]
+        assert (r["width"], r["height"], r["channels"], r["decoded"]) == (2, 2, 1, True)
+        assert abs(r["mean_intensity"] - (25 / 255.0)) < 1e-12
+    finally:
+        mm._IMAGE_DECODERS.pop(0)
