@@ -656,6 +656,22 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted groupBy over the low-cardinality (skew-prone)
+    event_type key — result must be IDENTICAL to a plain GROUP BY (the
+    salt only reshapes the physical exchange). Order-independent
+    aggregators only, so the oracle compares exactly."""
+    from dataflows_spark.operators.skew import salted_agg
+
+    events = spark.read.parquet(_t(sf, "events"))
+    return salted_agg(
+        events,
+        ["event_type"],
+        {"n": ("value", "count"), "max_value": ("value", "max"), "min_value": ("value", "min")},
+        n_salts=8,
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN with deterministic data-row centroids
     (``vec_id % 64 == 0``, capped) so the whole pipeline — centroid
@@ -715,6 +731,7 @@ _QUERIES = {
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "skew_salted_agg": q_skew_salted_agg,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -748,10 +765,9 @@ _DOCS_WITH_DUPS = (
     "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)"
 )
 
-_MINHASH_H = (
-    "list_min([CAST(concat('0x', substr(md5(concat(g, ':{i}')), 1, 15)) AS BIGINT) "
-    "for g in grams])"
-)
+# K≤4 fast path: one md5 per gram, sliced into 8-hex (32-bit) values
+# (mirrors functions/dedup.py::with_minhash)
+_MINHASH_H = "list_min([CAST(concat('0x', substr(md5(g), {off}, 8)) AS BIGINT) for g in grams])"
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -994,6 +1010,10 @@ def oracle_sql() -> dict[str, str]:
         f"FROM t) "
         f"SELECT doc_id, (length_ok + punct_ok + stop_ok) / 3.0 AS quality FROM r"
     )
+    sql["skew_salted_agg"] = (
+        "SELECT event_type, count(*) AS n, max(value) AS max_value, min(value) AS min_value "
+        "FROM events GROUP BY 1"
+    )
     sql["exact_dedup"] = (
         f"SELECT doc_id FROM ("
         f"  SELECT doc_id, row_number() OVER ("
@@ -1001,7 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         f"  ) AS rn FROM {_DOCS_WITH_DUPS}"
         f") WHERE rn = 1"
     )
-    mh = ", ".join(_MINHASH_H.format(i=i) + f" AS h{i}" for i in range(4))
+    mh = ", ".join(_MINHASH_H.format(off=1 + 8 * i) + f" AS h{i}" for i in range(4))
     sql["minhash_signature"] = (
         f"WITH g AS (SELECT doc_id, {_grams(_NORM)} AS grams FROM documents) "
         f"SELECT doc_id, {mh} FROM g"

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     FloatType,
     LongType,
@@ -228,6 +229,40 @@ def decode_spectral(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Da
         cols["spectral_rolloff"].append(rolloff)
         cols["n_samples"].append(n)
     return pd.DataFrame(cols)
+
+
+def resample_pcm(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample (numpy-only). For band-limited
+    speech-style content the reconstruction SNR is well above the 30 dB
+    invariant (pytest-asserted); swap in a polyphase kernel via the same
+    signature when scipy is available."""
+    if sr_in == sr_out or len(x) == 0:
+        return np.asarray(x, dtype=np.float32)
+    n_out = max(1, int(round(len(x) * sr_out / sr_in)))
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(t_out, np.arange(len(x), dtype=np.float64), x.astype(np.float64)).astype(np.float32)
+
+
+def resample_to_udf(target_sr: int, out_codec: str = "pcm_s16le"):
+    """Fused decode → resample → re-encode as one Arrow stage: the
+    sample-rate-unification pass every audio training pipeline runs
+    before featurization. Bytes in, bytes out — PCM never crosses Arrow
+    unencoded. Returns a pandas_udf; apply as
+    ``df.withColumn("bytes", udf("bytes", "codec", "sr_hz"))`` then
+    overwrite ``codec``/``sr_hz``/``dur_ms`` with literals/expressions."""
+
+    @F.pandas_udf(BinaryType())
+    def _resample(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
+        out = []
+        for b, c, sr in zip(raw, codec, sr_hz):
+            if b is None or c is None or sr is None:
+                out.append(None)
+                continue
+            x = decode_clip(b, c)
+            out.append(encode_clip(resample_pcm(x, int(sr), target_sr), out_codec))
+        return pd.Series(out, dtype=object)
+
+    return _resample
 
 
 # ---------------------------------------------------------------------------

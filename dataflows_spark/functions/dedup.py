@@ -71,9 +71,38 @@ def minhash_signature(col, num_hashes: int = 16, ngram: int = 3) -> Column:
 def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None) -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
-    the whole signature computation in one task."""
+    the whole signature computation in one task.
+
+    For ``num_hashes ≤ 4`` the signature is ONE fold over the grams:
+    each gram md5-hashed once, the digest sliced into independent
+    32-bit (8-hex) values, K running minima kept in a struct
+    accumulator — no intermediate digest array, K× fewer md5 calls
+    (measured head-to-head vs per-i md5 and vs a materialized digest
+    array at sf0.1; gram generation dominates, the fold wins on both
+    md5 count and allocations). 32-bit mins are ample for banding
+    (bands concatenate ≥2 values → ≥64 bits). Wider signatures fall
+    back to one md5 per (gram, i). Both shapes are mirrored exactly by
+    the DuckDB oracle."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(n).select(F.col(id_col).alias("id"), char_ngrams(text_col, ngram).alias("__grams"))
+    if num_hashes <= 4:
+        init = F.struct(*[F.lit(1 << 62).cast("bigint").alias(f"h{i}") for i in range(num_hashes)])
+
+        def step(acc: Column, g: Column) -> Column:
+            m = F.md5(g)
+            return F.struct(
+                *[
+                    F.least(
+                        acc[f"h{i}"],
+                        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+                    ).alias(f"h{i}")
+                    for i in range(num_hashes)
+                ]
+            )
+
+        s = F.aggregate(F.col("__grams"), init, step)
+        sig = F.array(*[s[f"h{i}"] for i in range(num_hashes)])
+        return grams.select("id", sig.alias("sig"))
     return grams.select(
         "id", F.array(*[minhash_hash(F.col("__grams"), i) for i in range(num_hashes)]).alias("sig")
     )

@@ -96,6 +96,7 @@ def windowed_counters_stream(
     keys: list[str],
     value_col: str,
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming ``counters`` aggregator (reference join.py:117-122
     semantics) over tumbling windows — the two-phase batch shape can't
@@ -104,12 +105,31 @@ def windowed_counters_stream(
     (``applyInPandasWithState``): updated per micro-batch, emitted once
     as a count-desc/value-asc string when the watermark passes the
     window end, then evicted. State size = distinct values per live
-    window, not rows."""
+    window, not rows. With ``slide`` (must divide ``duration``) each row
+    is exploded into its duration/slide overlapping windows first —
+    sliding-window counters with the same per-window state core."""
     from pyspark.sql import functions as F
 
     src = df.withWatermark(ts_col, watermark)
-    w = F.window(F.col(ts_col), duration)
-    src = src.withColumn("__wstart", w.start).withColumn("__wend", w.end)
+    if slide is None:
+        w = F.window(F.col(ts_col), duration)
+        src = src.withColumn("__wstart", w.start).withColumn("__wend", w.end)
+    else:
+        dur_s = int(pd.Timedelta(duration).total_seconds())
+        sl_s = int(pd.Timedelta(slide).total_seconds())
+        if dur_s % sl_s:
+            raise ValueError("slide must divide duration")
+        n = dur_s // sl_s
+        base = F.floor(F.unix_timestamp(F.col(ts_col)) / sl_s) * sl_s
+        starts = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)), lambda i: base - i.cast("bigint") * sl_s
+        )
+        src = (
+            src.withColumn("__wstart_s", F.explode(starts))
+            .withColumn("__wstart", F.timestamp_seconds(F.col("__wstart_s")))
+            .withColumn("__wend", F.timestamp_seconds(F.col("__wstart_s") + dur_s))
+            .drop("__wstart_s")
+        )
     ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     key_ddl = ", ".join(f"`{k}` {ftypes[k]}" for k in keys)
     out_schema = f"{key_ddl}, window_start timestamp, window_end timestamp, counters string"

@@ -116,3 +116,34 @@ def test_decode_pcm_udf_and_snr(spark):
     for r in out:
         assert r["rms"] is not None and 0.05 < r["rms"] < 1.0
         assert r["n"] > 0
+
+
+def test_resample_snr_invariant(spark):
+    """Fused decode→resample→re-encode keeps the decoded-PCM SNR ≥30 dB
+    invariant (north rule) for band-limited content, and the Spark path
+    is bit-identical to the local numpy kernel."""
+    import numpy as np
+
+    from dataflows_spark.functions import audio
+
+    sr_in, sr_out, f0 = 16000, 8000, 440.0
+    t = np.arange(int(0.25 * sr_in)) / sr_in
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    raw = audio.encode_clip(x, "pcm_s16le")
+    df = spark.createDataFrame(
+        [("c1", bytearray(raw), "pcm_s16le", sr_in)],
+        schema="clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    out = df.withColumn("bytes", audio.resample_to_udf(sr_out)("bytes", "codec", "sr_hz")).collect()[0]
+    got = audio.decode_clip(bytes(out["bytes"]), "pcm_s16le")
+    assert len(got) == int(round(len(x) * sr_out / sr_in))
+    # reference: ideal sine sampled directly at the target rate
+    t8 = np.arange(len(got)) / sr_out
+    ref = (0.5 * np.sin(2 * np.pi * f0 * t8)).astype(np.float32)
+    assert audio.snr_db(ref, got) >= 30.0
+    # bit-parity with the local kernel (same decode/resample/encode path)
+    local = audio.decode_clip(
+        audio.encode_clip(audio.resample_pcm(audio.decode_clip(raw, "pcm_s16le"), sr_in, sr_out), "pcm_s16le"),
+        "pcm_s16le",
+    )
+    assert np.array_equal(got, local)

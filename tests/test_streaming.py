@@ -310,3 +310,32 @@ def test_windowed_counters_stream_matches_batch(spark, tmp_path):
     q.stop()
     rows = {(r["k"], r["window_start"]): r["counters"] for r in sink.read(spark).collect()}
     assert rows[("a", TS(2024, 1, 1, 0, 0))] == "x:2,y:1"
+
+
+def test_windowed_counters_stream_sliding(spark, tmp_path):
+    """Sliding-window streaming counters: each row lands in
+    duration/slide overlapping windows, each with its own state."""
+    from dataflows_spark.streaming.stateful import windowed_counters_stream
+
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "wcs")
+    schema = "k string, v string, ts timestamp"
+    _write_batch(spark, [("a", "x", TS(2024, 1, 1, 0, 7))], schema, in_dir, "b1")
+    _write_batch(spark, [("a", "y", TS(2024, 1, 1, 0, 40))], schema, in_dir, "b2")
+    _write_batch(spark, [("a", "y", TS(2024, 1, 1, 1, 30))], schema, in_dir, "b3")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    counted = windowed_counters_stream(
+        stream, "ts", "10 minutes", ["k"], "v", watermark="1 minute", slide="5 minutes"
+    )
+    sink = ExactlyOnceParquetSink(out)
+    q = (
+        counted.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["k"], r["window_start"].minute): r["counters"] for r in sink.read(spark).collect()}
+    # ts 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+    assert rows[("a", 0)] == "x:1" and rows[("a", 5)] == "x:1"
