@@ -438,7 +438,11 @@ def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf, "documents"))
+    # repartition: the single-file parquet source would otherwise run the
+    # whole 64-bit fold in one task
+    docs = spark.read.parquet(_t(sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select("doc_id", ddp.simhash64("text").alias("simhash"))
 
 
@@ -606,6 +610,32 @@ def q_validate_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_extract_missing(spark: SparkSession, sf: str) -> DataFrame:
+    """load()'s extract_missing_values post-processor (reference
+    load.py:258-270): sentinel values null the field and land in a
+    per-row map, rendered as a string for cross-engine comparison."""
+    pkg = Flow(
+        load(
+            _t(sf, "customer"),
+            name="customer",
+            extract_missing_values={
+                "source": ["c_name"],
+                "values": ["Customer#000000001"],
+                "target": "missing",
+            },
+        )
+    ).dataframes(spark)
+    df = pkg["customer"]
+    return df.select(
+        "c_custkey",
+        "c_name",
+        F.concat_ws(
+            ",",
+            F.transform(F.map_entries("missing"), lambda e: F.concat_ws(":", e["key"], e["value"])),
+        ).alias("missing"),
+    )
+
+
 def q_validate_recast(spark: SparkSession, sf: str) -> DataFrame:
     """validate() with NO args = re-cast all fields against the declared
     schema (reference validate.py:8-61 via schema_validator); failing
@@ -678,7 +708,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     choice, assignment, probing, exact scan — is SQL-reproducible and
     oracle-checked. The Lloyd-trained variant (``ivf_cosine_topk``)
     stays the production path, exercised by pytest recall tests."""
-    emb = spark.read.parquet(_t(sf, "embeddings"))
+    emb = spark.read.parquet(_t(sf, "embeddings")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return sim.ivf_topk_seeded(
         emb, "embedding", "vec_id", [float(x) for x in qvec], k=10,
@@ -708,6 +740,7 @@ _QUERIES = {
         "counters": q_counters,
         "first_last_ordered": q_first_last_ordered,
         "array_agg_ordered": q_array_agg_ordered,
+        "extract_missing": q_extract_missing,
         "validate_recast": q_validate_recast,
         "set_type_drop": q_set_type_drop,
         "set_type_clear": q_set_type_clear,
@@ -901,6 +934,12 @@ def oracle_sql() -> dict[str, str]:
         "n_regionkey AS nation_regionkey, 'tpch' AS source FROM nation"
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
+    sql["extract_missing"] = (
+        "SELECT c_custkey, "
+        "CASE WHEN c_name = 'Customer#000000001' THEN NULL ELSE c_name END AS c_name, "
+        "CASE WHEN c_name = 'Customer#000000001' THEN 'c_name:' || c_name ELSE '' END AS missing "
+        "FROM customer"
+    )
     sql["validate_recast"] = (
         "WITH m AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 'notanumber' "
         "ELSE CAST(c_custkey AS VARCHAR) END AS mixed, CAST(c_acctbal AS VARCHAR) AS bal_str FROM customer) "

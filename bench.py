@@ -50,6 +50,14 @@ HEADLINE = [
     "minhash_signature",
     "ann_cosine_topk",
     "exact_dedup",
+    # the round-1 scale-killers, re-shaped in round 2 — benched per-round
+    # so a regression back toward nested-loop/cartesian/driver-collect
+    # shows up as wall-clock
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_neardup",
+    "ann_ivf_topk",
+    "simhash",
 ]
 
 

@@ -110,11 +110,16 @@ def ivf_assignments(
         dot(v, F.array(*[F.lit(float(x)) for x in c])) / F.greatest(l2_norm(v), F.lit(1e-12))
         for c in centroids
     ]
-    best = F.greatest(*sim_cols) if len(sim_cols) > 1 else sim_cols[0]
-    list_expr = F.lit(0)
-    for i in reversed(range(len(sim_cols))):
-        list_expr = F.when(sim_cols[i] == best, F.lit(i)).otherwise(list_expr)
-    return df.withColumn("__list", list_expr.cast("int")), centroids
+    # materialize the per-centroid sims ONCE, then argmax via
+    # array_position (first match = lowest index tie-break). A nested
+    # when(sim_i == best) chain re-evaluates every cosine at every level
+    # — O(k²) fold evaluations per row (measured pathological at k=16)
+    assigned = df.withColumn("__sims", F.array(*sim_cols))
+    pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+    return (
+        assigned.withColumn("__list", (pos - 1).cast("int")).drop("__sims"),
+        centroids,
+    )
 
 
 def ivf_cosine_topk(
@@ -194,11 +199,17 @@ def ivf_topk_seeded(
 
     v = F.col(vec_col).cast("array<double>")
     sim_cols = [cosine_sim(v, F.array(*[F.lit(x) for x in cv])) for _, cv in cents]
-    best = F.greatest(*sim_cols) if len(sim_cols) > 1 else sim_cols[0]
-    assign = F.lit(cents[-1][0])
-    for i in reversed(range(len(sim_cols))):  # ties → lowest centroid id
-        assign = F.when(sim_cols[i] == best, F.lit(cents[i][0])).otherwise(assign)
-    cand = df.withColumn("__list", assign).filter(F.col("__list").isin(sorted(probe))).drop("__list")
+    # sims materialized once; argmax by array_position — first match is
+    # the lowest centroid id (same tie-break as the SQL oracle's
+    # row_number ORDER BY cos DESC, cid)
+    ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    tmp = df.withColumn("__sims", F.array(*sim_cols))
+    assign = F.element_at(ids, F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int"))
+    cand = (
+        tmp.withColumn("__list", assign)
+        .filter(F.col("__list").isin(sorted(probe)))
+        .drop("__list", "__sims")
+    )
     return cosine_topk(cand, vec_col, id_col, query_vec, k)
 
 

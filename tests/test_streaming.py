@@ -339,3 +339,29 @@ def test_windowed_counters_stream_sliding(spark, tmp_path):
     rows = {(r["k"], r["window_start"].minute): r["counters"] for r in sink.read(spark).collect()}
     # ts 00:07 belongs to [00:00,00:10) and [00:05,00:15)
     assert rows[("a", 0)] == "x:1" and rows[("a", 5)] == "x:1"
+
+
+def test_snapshot_table_time_travel_and_rollback(spark, tmp_path):
+    """Iceberg-analog semantics on the fallback table: versioned
+    commits, VERSION-AS-OF reads, rollback, snapshot expiry."""
+    from dataflows_spark.sources.table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tt"), retain=3)
+    t.merge(spark.createDataFrame([("a", 1)], "k string, v int"), ["k"])
+    t.merge(spark.createDataFrame([("a", 2), ("b", 1)], "k string, v int"), ["k"])
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {("a", 2), ("b", 1)}
+    assert {(r["k"], r["v"]) for r in t.read(spark, version=0).collect()} == {("a", 1)}
+    assert [h["version"] for h in t.history()] == [0, 1]
+
+    t.rollback(0)
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {("a", 1)}
+
+    # expiry: retain=3 keeps only the newest 3 snapshots readable
+    t2 = SnapshotTable(str(tmp_path / "exp"), retain=2)
+    for i in range(4):
+        t2.overwrite(spark.createDataFrame([(i,)], "v int"))
+    assert t2.read(spark).collect()[0]["v"] == 3
+    assert t2.read(spark, version=2).collect()[0]["v"] == 2
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t2.read(spark, version=0)
