@@ -99,10 +99,38 @@ def strptime_to_spark(fmt: str) -> str:
     return "".join(out)
 
 
+_ISO_DURATION_RX = r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+
+
 def _temporal_cast(col: str, dtype: str, fmt: str | None):
     """Parse expression for date/datetime with an optional reference-style
-    strptime format."""
+    strptime format, plus the structured Table Schema types the plain
+    cast can't express: ISO-8601 ``duration`` (reference parses via
+    isodate, ``helpers/extended_json.py:68-72``), ``yearmonth``
+    ('YYYY-MM' → struct), ``geopoint`` ('lon,lat' → array<double>)."""
     c = F.col(col)
+    if dtype == "duration":
+        s = F.trim(c.cast("string"))
+        part = lambda i: F.coalesce(F.regexp_extract(s, _ISO_DURATION_RX, i).try_cast("double"), F.lit(0.0))  # noqa: E731
+        return F.when(
+            s.rlike(_ISO_DURATION_RX) & (F.length(s) > 1),
+            F.make_dt_interval(part(1).cast("int"), part(2).cast("int"), part(3).cast("int"), part(4)),
+        )
+    if dtype == "yearmonth":
+        s = F.trim(c.cast("string"))
+        return F.when(
+            s.rlike(r"^\d{4}-\d{1,2}$"),
+            F.struct(
+                F.split(s, "-")[0].try_cast("int").alias("year"),
+                F.split(s, "-")[1].try_cast("int").alias("month"),
+            ),
+        )
+    if dtype == "geopoint":
+        s = F.trim(c.cast("string"))
+        arr = F.transform(F.split(s, r",\s*"), lambda x: x.try_cast("double"))
+        return F.when(
+            (F.size(arr) == 2) & ~F.exists(arr, lambda x: x.isNull()), arr
+        )
     if fmt in (None, "any", "default"):
         return None
     spark_fmt = strptime_to_spark(fmt)
@@ -289,7 +317,7 @@ class validate(Stage):
         casted = {
             f["name"]: (
                 _temporal_cast(f["name"], f.get("type", "string"), f.get("format"))
-                if f.get("type") in ("date", "datetime")
+                if f.get("type") in ("date", "datetime", "duration", "yearmonth", "geopoint")
                 else None
             )
             for f in fields

@@ -9,7 +9,7 @@ from .stages import (
     watermark,
     window_agg,
 )
-from .stateful import latest_revision_coalescer, windowed_counters_stream
+from .stateful import latest_revision_coalescer, session_counters_stream, windowed_counters_stream
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
@@ -29,4 +29,5 @@ __all__ = [
     "tumbling_window_agg",
     "latest_revision_coalescer",
     "windowed_counters_stream",
+    "session_counters_stream",
 ]

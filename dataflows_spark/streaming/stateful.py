@@ -89,6 +89,107 @@ def _counters_fn_factory(value_col: str, key_cols: list[str]):
     return fn
 
 
+def _session_counters_fn_factory(value_col: str, key_cols: list[str], ts_col: str, gap_s: int):
+    import json
+
+    out_cols = [*key_cols, "session_start", "session_end", "counters"]
+
+    def _emit(ks, sessions):
+        rows = []
+        for start, end, counts_json in sessions:
+            pairs = sorted(json.loads(counts_json).items(), key=lambda x: (-x[1], x[0]))
+            rows.append(
+                dict(
+                    zip(
+                        out_cols,
+                        [
+                            *ks,
+                            pd.Timestamp(start, unit="s"),
+                            # Spark session_window semantics: end = last event + gap
+                            pd.Timestamp(end + gap_s, unit="s"),
+                            ",".join(f"{v}:{c}" for v, c in pairs),
+                        ],
+                    )
+                )
+            )
+        return pd.DataFrame(rows, columns=out_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        ks = list(key)
+        sessions = (
+            [(int(s), int(e), c) for s, e, c in zip(*state.get)] if state.exists else []
+        )
+        events: list[tuple[int, str]] = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                sub = pdf[[ts_col, value_col]].dropna()
+                ts_s = (sub[ts_col].astype("int64") // 1_000_000_000).tolist()
+                events.extend(zip(ts_s, sub[value_col].astype(str).tolist()))
+        if events:
+            # interval merge with gap: every event is a unit session
+            units = sessions + [(t, t, json.dumps({v: 1})) for t, v in events]
+            units.sort(key=lambda x: x[0])
+            merged: list[tuple[int, int, dict]] = []
+            for s, e, cj in units:
+                c = json.loads(cj)
+                if merged and s <= merged[-1][1] + gap_s:
+                    ps, pe, pc = merged[-1]
+                    for v, n in c.items():
+                        pc[v] = pc.get(v, 0) + n
+                    merged[-1] = (ps, max(pe, e), pc)
+                else:
+                    merged.append((s, e, c))
+            sessions = [(s, e, json.dumps(c)) for s, e, c in merged]
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        closed = [x for x in sessions if x[1] + gap_s <= wm_s]
+        live = [x for x in sessions if x[1] + gap_s > wm_s]
+        if live:
+            state.update((
+                [s for s, _, _ in live],
+                [e for _, e, _ in live],
+                [c for _, _, c in live],
+            ))
+            # wake when the earliest live session COULD close (watermark
+            # must move past end+gap); clamp above the current watermark
+            earliest = min(e for _, e, _ in live) + gap_s
+            state.setTimeoutTimestamp(max(earliest * 1000, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        yield _emit(ks, closed)
+
+    return fn
+
+
+def session_counters_stream(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    value_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """SESSION-window streaming counters: Spark has no session windows
+    for arbitrary custom aggregates, so sessions live in explicit state
+    per key — open sessions merge on arrival (interval merge with
+    ``gap``), close and emit once the event-time watermark passes
+    ``last_event + gap`` (Spark ``session_window`` end semantics). State
+    per key = open sessions × distinct values, watermark-evicted."""
+    from pyspark.sql import functions as F  # noqa: F401 — parity with siblings
+
+    gap_s = int(pd.Timedelta(gap).total_seconds())
+    src = df.withWatermark(ts_col, watermark)
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"`{k}` {ftypes[k]}" for k in keys)
+    out_schema = f"{key_ddl}, session_start timestamp, session_end timestamp, counters string"
+    return src.groupBy(*keys).applyInPandasWithState(
+        _session_counters_fn_factory(value_col, keys, ts_col, gap_s),
+        outputStructType=out_schema,
+        stateStructType="starts array<long>, ends array<long>, counts array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_counters_stream(
     df: DataFrame,
     ts_col: str,

@@ -296,3 +296,33 @@ def test_printer_parity(spark, capsys):
     Flow([{"i": 1}], printer(num_rows=5, tablefmt="plain")).results(spark)
     out2 = capsys.readouterr().out
     assert "..." not in out2 and "|" not in out2
+
+
+def test_set_type_structured_table_schema_types(spark):
+    """duration (ISO-8601), yearmonth, geopoint parsing — the structured
+    Table Schema types (SURVEY §1.3; reference extended_json.py:68-72)."""
+    import datetime as dt
+
+    data = [
+        {"d": "P1DT2H3M4.5S", "ym": "2023-04", "gp": "34.75, 32.06"},
+        {"d": "PT10S", "ym": "1999-12", "gp": "0,0"},
+        {"d": "notaduration", "ym": "nope", "gp": "1,2,3"},
+    ]
+    results, _, _ = Flow(
+        data,
+        set_type("d", type="duration", on_error="clear"),
+        set_type("ym", type="yearmonth", on_error="clear"),
+        set_type("gp", type="geopoint", on_error="clear"),
+    ).results(spark)
+    rows = sorted(results[0], key=lambda r: (r["d"] is None, str(r["d"])))
+    ok1 = [r for r in results[0] if r["ym"] == {"year": 2023, "month": 4}][0]
+    assert ok1["d"] == dt.timedelta(days=1, hours=2, minutes=3, seconds=4.5)
+    assert ok1["gp"] == [34.75, 32.06]
+    ok2 = [r for r in results[0] if r["ym"] == {"year": 1999, "month": 12}][0]
+    assert ok2["d"] == dt.timedelta(seconds=10)
+    bad = [r for r in results[0] if r["ym"] is None][0]
+    assert bad["d"] is None and bad["gp"] is None
+
+    # drop mode removes rows with unparseable values
+    results, _, _ = Flow(data, set_type("d", type="duration", on_error="drop")).results(spark)
+    assert len(results[0]) == 2

@@ -365,3 +365,36 @@ def test_snapshot_table_time_travel_and_rollback(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         t2.read(spark, version=0)
+
+
+def test_session_counters_stream(spark, tmp_path):
+    """Session-window streaming counters: events within the gap merge
+    into one session (incl. across micro-batches); sessions emit once
+    the watermark passes last_event + gap."""
+    from dataflows_spark.streaming.stateful import session_counters_stream
+
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "sc")
+    schema = "k string, v string, ts timestamp"
+    # session 1 for 'a': 00:00 and 00:04 (gap 5m, merges); batch 2 adds
+    # 00:07 -> still same session (within gap of 00:04)
+    _write_batch(spark, [("a", "x", TS(2024, 1, 1, 0, 0)), ("a", "y", TS(2024, 1, 1, 0, 4))], schema, in_dir, "b1")
+    _write_batch(spark, [("a", "x", TS(2024, 1, 1, 0, 7))], schema, in_dir, "b2")
+    # far-future rows advance the watermark so session 1 closes
+    _write_batch(spark, [("a", "z", TS(2024, 1, 1, 2, 0))], schema, in_dir, "b3")
+    _write_batch(spark, [("b", "w", TS(2024, 1, 1, 3, 0))], schema, in_dir, "b4")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    sess = session_counters_stream(stream, "ts", "5 minutes", ["k"], "v", watermark="1 minute")
+    sink = ExactlyOnceParquetSink(out)
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["k"], r["session_start"]): r for r in sink.read(spark).collect()}
+    s1 = rows[("a", TS(2024, 1, 1, 0, 0))]
+    assert s1["counters"] == "x:2,y:1"
+    assert s1["session_end"] == TS(2024, 1, 1, 0, 12)  # last event 00:07 + 5m gap
