@@ -686,6 +686,48 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP training-data curation pipeline, end-to-end as ONE plan:
+    quality filter → lang-ID filter → exact dedup (md5, keep lowest id)
+    → MinHash-LSH near-dup removal (drop higher id of each candidate
+    pair) → fingerprint + token stats. Every stage is the library
+    operator; the oracle composes the same stages in SQL."""
+    # spread the single-file source across the cluster before the
+    # expression-heavy stages; cache the dedup set — it feeds three
+    # downstream branches (pairs, grams, final anti-join) which would
+    # otherwise each recompute the lang/quality/window chain
+    docs = _docs_with_dups(spark, sf).repartition(spark.sparkContext.defaultParallelism)
+    # tokens materialized ONCE; quality + all 4 language scores consume
+    # the same array instead of re-inlining normalize+split per score
+    toked = docs.withColumn("__toks", txt.tokens("text"))
+    scored = toked.withColumn("q", txt.quality_score("text", toks=F.col("__toks"))).withColumn(
+        "lg", txt.lang_id("text", toks=F.col("__toks"))
+    )
+    kept = scored.filter((F.col("q") > 0.5) & (F.col("lg") == "en")).select("doc_id", "text")
+    deduped = ddp.exact_dedup(kept, "text", "doc_id").cache()
+    # near-dup removal = LSH candidates → exact-Jaccard VERIFY → drop the
+    # higher id. 5-gram shingles: on shared-vocabulary corpora 3-gram
+    # Jaccard between DISTINCT docs is high enough to flood the banding
+    # with candidates (measured: the verify join exploded at sf0.1);
+    # 5-grams collapse cross-doc similarity while exact dups still
+    # collide in every band
+    pairs = ddp.minhash_lsh_candidates(deduped, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5)
+    grams = deduped.select(F.col("doc_id").alias("gid"), ddp.char_ngrams("text", 5).alias("g"))
+    verified = (
+        pairs.join(grams.select(F.col("gid").alias("id_a"), F.col("g").alias("ga")), on="id_a")
+        .join(grams.select(F.col("gid").alias("id_b"), F.col("g").alias("gb")), on="id_b")
+        .withColumn("j", ddp.jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.8)
+    )
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    final = deduped.join(drop, on="doc_id", how="left_anti")
+    return final.select(
+        "doc_id",
+        txt.fingerprint_int("text").alias("fp_int"),
+        txt.ws_token_count("text").cast("long").alias("ws_tokens"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted groupBy over the low-cardinality (skew-prone)
     event_type key — result must be IDENTICAL to a plain GROUP BY (the
@@ -764,6 +806,7 @@ _QUERIES = {
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "corpus_clean": q_corpus_clean,
         "skew_salted_agg": q_skew_salted_agg,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
@@ -784,13 +827,13 @@ _QUERIES = {
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _GRAMS = (
-    "CASE WHEN length({n}) < 3 THEN [{n}] ELSE "
-    "list_distinct([substr({n}, i, 3) for i in range(1, length({n}) - 1)]) END"
+    "CASE WHEN length({n}) < {k} THEN [{n}] ELSE "
+    "list_distinct([substr({n}, i, {k}) for i in range(1, length({n}) - {k2})]) END"
 )
 
 
-def _grams(norm_expr: str) -> str:
-    return _GRAMS.format(n=norm_expr)
+def _grams(norm_expr: str, k: int = 3) -> str:
+    return _GRAMS.format(n=norm_expr, k=k, k2=k - 2)
 
 
 _DOCS_WITH_DUPS = (
@@ -856,13 +899,34 @@ def _simhash_sql(doc_source: str) -> str:
     """
 
 
+_LANGS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+}
+
+
+def _lang_score_exprs() -> tuple[list[str], str]:
+    """(per-language score SELECT fragments over columns (norm, toks),
+    winning-language CASE over (s_xx..., best)) — shared by the lang_id
+    oracle and the composed corpus_clean oracle."""
+    score_exprs = []
+    for lang in sorted(_LANGS):
+        words = ", ".join(f"'{w}'" for w in _LANGS[lang])
+        score_exprs.append(
+            f"CASE WHEN length(norm)=0 THEN 0.0 ELSE "
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))::DOUBLE / len(toks) END AS s_{lang}"
+        )
+    pick = "CASE "
+    for lang in sorted(_LANGS):  # first max wins (same tiebreak as engine)
+        pick += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return score_exprs, pick
+
+
 def _lang_sql() -> str:
-    langs = {
-        "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
-        "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
-        "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"],
-        "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
-    }
+    langs = _LANGS
     score_exprs = []
     for lang in sorted(langs):
         words = ", ".join(f"'{w}'" for w in langs[lang])
@@ -1049,6 +1113,49 @@ def oracle_sql() -> dict[str, str]:
         f"FROM t) "
         f"SELECT doc_id, (length_ok + punct_ok + stop_ok) / 3.0 AS quality FROM r"
     )
+    score_exprs, pick = _lang_score_exprs()
+    _en2 = "'the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'"
+    mh2 = ", ".join(_MINHASH_H.format(off=1 + 8 * i) + f" AS h{i}" for i in range(4))
+    sql["corpus_clean"] = f"""
+        WITH base AS (SELECT doc_id, text FROM {_DOCS_WITH_DUPS}),
+        t AS (SELECT doc_id, text, {_NORM} AS norm,
+                     string_split({_NORM}, ' ') AS toks FROM base),
+        s AS (SELECT doc_id, text, norm, toks, {', '.join(score_exprs)},
+                     CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END AS length_ok,
+                     CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                               / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+                     CASE WHEN (CASE WHEN length(norm) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> list_contains([{_en2}], x)))::DOUBLE
+                               / len(toks) END) >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+              FROM t),
+        b2 AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s),
+        kept AS (SELECT doc_id, text, norm, toks FROM b2
+                 WHERE (length_ok + punct_ok + stop_ok) / 3.0 > 0.5 AND ({pick}) = 'en'),
+        dedup AS (SELECT doc_id, text, norm, toks FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM kept
+        ) WHERE rn = 1),
+        g AS (SELECT doc_id, {_grams('norm', 5)} AS grams FROM dedup),
+        sigs AS (SELECT doc_id, {mh2} FROM g),
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(concat(h0, ',', h1)) AS band_hash FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(concat(h2, ',', h3)) FROM sigs
+        ),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        verified AS (
+            SELECT c.id_a, c.id_b FROM cand c
+            JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+            WHERE (CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) = 0 THEN 1.0
+                   ELSE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                        / len(list_distinct(list_concat(ga.grams, gb.grams))) END) >= 0.8
+        ),
+        dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+        SELECT d.doc_id,
+               CAST(concat('0x', substr(md5(norm), 1, 15)) AS BIGINT) AS fp_int,
+               CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS ws_tokens
+        FROM dedup d LEFT JOIN dropped ON d.doc_id = dropped.doc_id
+        WHERE dropped.doc_id IS NULL
+    """
     sql["skew_salted_agg"] = (
         "SELECT event_type, count(*) AS n, max(value) AS max_value, min(value) AS min_value "
         "FROM events GROUP BY 1"

@@ -122,6 +122,35 @@ def ivf_assignments(
     )
 
 
+def ivf_assignments_ml(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer trained with ``pyspark.ml.clustering.KMeans``
+    — training is FULLY distributed (no driver-side sample at all), the
+    scale path when even a capped sample is awkward to place. Vectors
+    are L2-normalized first so euclidean k-means clusters by direction
+    (cosine). Assignment comes back as the model's prediction column;
+    the (small) centroid matrix is returned for probe selection."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(l2_norm(v), F.lit(1e-12))
+    unit = F.transform(v, lambda x: x / norm)
+    feat = df.withColumn("__feat", array_to_vector(unit))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__feat", predictionCol="__list")
+    model = km.fit(feat)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    centroids = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    assigned = model.transform(feat).drop("__feat")
+    return assigned, centroids
+
+
 def ivf_cosine_topk(
     df: DataFrame,
     vec_col: str,

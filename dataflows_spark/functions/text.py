@@ -30,6 +30,16 @@ def normalize_text(col) -> Column:
     return F.trim(F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+", " "))
 
 
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text (empty text → empty
+    array). Materialize this ONCE as a column when several downstream
+    scores consume it — the score functions accept ``toks=`` so the
+    normalize+split work isn't re-inlined per consumer (Catalyst does
+    not CSE across these expressions)."""
+    t = normalize_text(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
 def ws_token_count(col) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     t = normalize_text(col)
@@ -48,24 +58,21 @@ def punct_ratio(col) -> Column:
     return (n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))).alias("punct_ratio")
 
 
-def stopword_ratio(col, lang: str = "en") -> Column:
+def stopword_ratio(col, lang: str = "en", toks: Column | None = None) -> Column:
     """Fraction of whitespace tokens that are (lang) stopwords."""
-    t = normalize_text(col)
-    toks = F.split(t, " ")
+    tk = tokens(col) if toks is None else toks
     stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
-    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
-        n_stop.cast("double") / F.size(toks)
-    )
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(stop, x)))
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / F.size(tk))
 
 
-def quality_score(col) -> Column:
+def quality_score(col, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0,1]: length band + punctuation
     sanity + stopword presence (a cheap C4-style filter)."""
     c = F.col(col) if isinstance(col, str) else col
     length_ok = F.when((F.length(c) >= 20) & (F.length(c) <= 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
-    stop_ok = F.when(stopword_ratio(col) >= 0.05, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(col, toks=toks) >= 0.05, 1.0).otherwise(0.0)
     return (length_ok + punct_ok + stop_ok) / F.lit(3.0)
 
 
@@ -74,16 +81,27 @@ def lang_score(col, lang: str) -> Column:
     return stopword_ratio(col, lang)
 
 
-def lang_id(col) -> Column:
+def lang_id(col, toks: Column | None = None) -> Column:
     """Pick the language whose stopword inventory scores highest
     (deterministic tiebreak: language code order); 'und' when no
-    stopword hits at all."""
-    scores = [(lang, stopword_ratio(col, lang)) for lang in sorted(LANG_STOPWORDS)]
-    best_score = F.greatest(*[s for _, s in scores])
-    expr = F.lit("und")
-    for lang, score in reversed(scores):
-        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    stopword hits at all.
+
+    Selection is an array_max over (score, -lang_index) structs — each
+    per-language score is evaluated exactly once (the previous nested
+    when(score == best) chain re-evaluated every score per level)."""
+    langs = sorted(LANG_STOPWORDS)
+    entries = F.array(
+        *[
+            F.struct(
+                stopword_ratio(col, lang, toks=toks).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(entries)
+    name = F.element_at(F.array(*[F.lit(lg) for lg in langs]), (-best["ni"] + 1).cast("int"))
+    return F.when(best["s"] > 0, name).otherwise(F.lit("und"))
 
 
 def fingerprint_md5(col) -> Column:

@@ -260,3 +260,28 @@ def test_multimodal_pluggable_decoder_contract(spark):
         assert abs(r["mean_intensity"] - (25 / 255.0)) < 1e-12
     finally:
         mm._IMAGE_DECODERS.pop(0)
+
+
+def test_ivf_ml_trained_recall(spark):
+    """Distributed (pyspark.ml KMeans) IVF training: no driver collect
+    anywhere on the training path; probing the top lists recovers the
+    true neighbors."""
+    rng = np.random.Generator(np.random.Philox(key=[9, 9]))
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    vecs[11] = vecs[0] * 0.95 + 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    assigned, cents = sim.ivf_assignments_ml(df, "embedding", "vec_id", n_lists=8, seed=42)
+    assert cents.shape == (8, 16)
+    assert assigned.filter(F.col("__list").isNull()).count() == 0
+    q = [float(x) for x in vecs[0]]
+    import numpy as _np
+    qn = _np.asarray(q) / max(_np.linalg.norm(q), 1e-12)
+    probe = _np.argsort(-(cents @ qn))[:3].tolist()
+    cand = assigned.filter(F.col("__list").isin([int(p) for p in probe])).drop("__list")
+    approx = [r["vec_id"] for r in sim.cosine_topk(cand, "embedding", "vec_id", q, k=10).collect()]
+    exact = [r["vec_id"] for r in sim.cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    assert approx[0] == 0 and 11 in approx
+    assert len(set(approx) & set(exact)) >= 6
