@@ -78,7 +78,6 @@ def test_find_replace_matches_python_re_on_generated_inputs(spark):
         ("  spaces   collapse  ", r"\s+", " "),
         ("MiXeD CaSe", r"[A-Z]", "_"),
     ]
-    data = [{"i": i, "t": t} for i, (t, _p, _r) in enumerate(cases)]
     for i, (t, pat, rep) in enumerate(cases):
         results, _, _ = Flow(
             [{"i": i, "t": t}],
