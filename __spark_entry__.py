@@ -712,7 +712,15 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     # 5-grams collapse cross-doc similarity while exact dups still
     # collide in every band
     pairs = ddp.minhash_lsh_candidates(deduped, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5)
-    grams = deduped.select(F.col("doc_id").alias("gid"), ddp.char_ngrams("text", 5).alias("g"))
+    # verify on md5-derived int64 gram hashes: string-array
+    # intersect/union dominated the whole pipeline (measured ~21s of 27s
+    # at sf0.1); int64 set ops cut it ~4×, Jaccard value unchanged
+    # (collisions in a 60-bit space over ~600-element unions: ~0)
+    ghash = F.transform(
+        ddp.char_ngrams("text", 5),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    grams = deduped.select(F.col("doc_id").alias("gid"), ghash.alias("g"))
     verified = (
         pairs.join(grams.select(F.col("gid").alias("id_a"), F.col("g").alias("ga")), on="id_a")
         .join(grams.select(F.col("gid").alias("id_b"), F.col("g").alias("gb")), on="id_b")
@@ -1142,9 +1150,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
                  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        gh AS (SELECT doc_id, list_transform(grams,
+                   x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS grams FROM g),
         verified AS (
             SELECT c.id_a, c.id_b FROM cand c
-            JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+            JOIN gh ga ON ga.doc_id = c.id_a JOIN gh gb ON gb.doc_id = c.id_b
             WHERE (CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) = 0 THEN 1.0
                    ELSE len(list_intersect(ga.grams, gb.grams))::DOUBLE
                         / len(list_distinct(list_concat(ga.grams, gb.grams))) END) >= 0.8

@@ -1,0 +1,34 @@
+"""bench.py --compare contract: per-query ratios vs a recorded round,
+>1.3x flags, driver 'parsed' wrapper unwrapping."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+import bench
+
+
+def test_compare_block_flags_regressions(tmp_path):
+    prev = {
+        "parsed": {  # driver-recorded BENCH_r{N}.json shape
+            "value": 100000.0,
+            "queries": {"q_fast": 1.0, "q_slow": 2.0, "q_gone": 5.0},
+        }
+    }
+    p = tmp_path / "BENCH_r01.json"
+    p.write_text(json.dumps(prev))
+    result = {
+        "value": 80000.0,
+        "queries": {"q_fast": 1.5, "q_slow": 1.9, "q_new": 0.5},
+    }
+    block = bench.compare_block(result, str(p))
+    assert block["per_query_ratio_cur_over_prev"] == {"q_fast": 1.5, "q_slow": 0.95}
+    assert block["regressions_gt_1p3x"] == ["q_fast"]
+    assert block["headline_throughput_vs_prev"] == 1.25  # prev/cur
+
+
+def test_compare_block_unwrapped_shape(tmp_path):
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps({"value": 10.0, "queries": {"q": 1.0}}))
+    block = bench.compare_block({"value": 10.0, "queries": {"q": 1.0}}, str(p))
+    assert block["regressions_gt_1p3x"] == []
