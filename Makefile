@@ -1,4 +1,4 @@
-.PHONY: test package submit submit-stream bench oracle
+.PHONY: test package submit submit-stream bench bench-compare oracle plans
 
 test:
 	python -m pytest tests/ -x -q
@@ -29,5 +29,11 @@ submit-stream: package
 bench:
 	python bench.py
 
+bench-compare:
+	python bench.py --compare $${BASELINE:?set BASELINE=BENCH_rNN.json}
+
 oracle:
 	python scripts/check_oracle.py /root/testdata/sf0.01
+
+plans:
+	python scripts/gen_plans.py

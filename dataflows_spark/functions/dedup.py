@@ -217,11 +217,20 @@ def jaccard_pairs(
     hash/sort-merge join keyed on the band. The round-1 version used a
     ``BETWEEN`` range predicate with no equi-key, which Spark executes
     as a broadcast-nested-loop/cartesian (judge scale-killer #5). A
-    given pair matches exactly one probe, so no dedup is needed."""
+    given pair matches exactly one probe, so no dedup is needed.
+
+    SET-OP SHAPE: grams are md5-hashed to int64 BEFORE the pairwise
+    intersect/union — string-array set ops dominate the wall clock
+    otherwise (~2× end-to-end measured at sf0.1); the Jaccard value is
+    unchanged (hash collisions at 60 bits over these set sizes: ~0)."""
     t = normalize_text(text_col)
+    ghash = F.transform(
+        char_ngrams(text_col, ngram),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
     base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
-        char_ngrams(text_col, ngram).alias("grams"),
+        ghash.alias("grams"),
         (F.length(t) / length_band).cast("int").alias("band"),
     )
     a = base.select(
