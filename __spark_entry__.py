@@ -446,6 +446,22 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", ddp.simhash64("text").alias("simhash"))
 
 
+def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-bucket dedup: keep the lowest id per 64-bit simhash
+    (exact-bucket near-dup collapse — normalized-identical docs share
+    the hash; one shuffle on a uniform 64-bit key)."""
+    docs = _docs_with_dups(spark, sf).repartition(spark.sparkContext.defaultParallelism)
+    keyed = ddp.simhash_dedup_keys(docs, "text", "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("simhash").orderBy("doc_id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "simhash")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -821,6 +837,7 @@ _QUERIES = {
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_dedup": q_simhash_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -1229,6 +1246,12 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
     )
     sql["simhash"] = _simhash_sql("documents")
+    sql["simhash_dedup"] = (
+        f"SELECT doc_id, simhash FROM ("
+        f"  SELECT doc_id, simhash, row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn"
+        f"  FROM ({_simhash_sql(_DOCS_WITH_DUPS)})"
+        f") WHERE rn = 1"
+    )
     sql["ann_lsh_topk"] = (
         # multi-probe (hamming ≤ 1) LSH candidates, exact cosine top-k
         f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
