@@ -44,6 +44,7 @@ _EXT_FORMAT = {
     ".txt": "text",
     ".xlsx": "xlsx",
     ".xml": "xml",
+    ".geojson": "geojson",
 }
 
 
@@ -127,6 +128,8 @@ class load(Stage):
             return xlsx_to_dataframe(ctx.spark, source, self.sheet)
         if fmt == "xml":
             return self._read_xml(ctx, source)
+        if fmt == "geojson":
+            return self._read_geojson(ctx, source)
         reader = ctx.spark.read.format(fmt)
         if fmt == "csv":
             reader = reader.option("header", "true")
@@ -165,6 +168,21 @@ class load(Stage):
         schema = ", ".join(f"`{c}` string" for c in cols) or "`value` string"
         data = [tuple(r.get(c) for c in cols) for r in rows]
         return ctx.spark.createDataFrame(data, schema=schema)
+
+    def _read_geojson(self, ctx: Context, source: str) -> DataFrame:
+        """GeoJSON FeatureCollection → one row per feature: properties
+        flattened to columns, geometry kept as a JSON string column
+        (reference custom GeoJSON parser + ``format_geojson`` dumper).
+        Fully Spark-native: multiline JSON read + explode — the file
+        parses in executors, not on the driver."""
+        raw = ctx.spark.read.option("multiLine", "true").json(source)
+        feats = raw.select(F.explode("features").alias("f"))
+        prop_fields = [
+            sf.name for sf in feats.select("f.properties.*").schema.fields
+        ] if "properties" in [x.name for x in feats.schema["f"].dataType.fields] else []
+        cols = [F.col(f"f.properties.{p}").alias(p) for p in prop_fields]
+        cols.append(F.to_json(F.col("f.geometry")).alias("geometry"))
+        return feats.select(*cols)
 
     def _load_datapackage(self, ctx: Context, pkg: TablePackage, source: str) -> None:
         import json

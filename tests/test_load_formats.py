@@ -143,3 +143,27 @@ def test_load_xml_rows(spark, tmp_path):
     pkg = Flow(load(p, name="t", override_fields={"qty": "integer"})).dataframes(spark)
     rows = sorted((r["id"], r["name"], r["qty"]) for r in pkg["t"].collect())
     assert rows == [("1", "a", 3), ("2", "b", 4)]
+
+
+def test_load_geojson_features(spark, tmp_path):
+    """GeoJSON FeatureCollection: one row per feature, properties as
+    columns, geometry preserved as JSON."""
+    import json as _json
+
+    p = str(tmp_path / "g.geojson")
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"name": "a", "pop": 10},
+             "geometry": {"type": "Point", "coordinates": [34.75, 32.06]}},
+            {"type": "Feature", "properties": {"name": "b", "pop": 20},
+             "geometry": {"type": "Point", "coordinates": [0.0, 51.5]}},
+        ],
+    }
+    with open(p, "w") as fh:
+        _json.dump(fc, fh)
+    pkg = Flow(load(p, name="g")).dataframes(spark)
+    rows = {r["name"]: r for r in pkg["g"].collect()}
+    assert rows["a"]["pop"] == 10
+    geom = _json.loads(rows["a"]["geometry"])
+    assert geom["type"] == "Point" and geom["coordinates"] == [34.75, 32.06]

@@ -136,3 +136,14 @@ def test_lsh_neardup_is_equi_join(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_clean_has_no_cartesian(spark):
+    """The flagship curation pipeline must stay equi-join-only end to
+    end — no nested-loop/cartesian anywhere in the composed plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["corpus_clean"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
