@@ -243,6 +243,80 @@ def resample_pcm(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x.astype(np.float64)).astype(np.float32)
 
 
+def trim_silence(x: np.ndarray, threshold: float = 0.01, frame: int = 160) -> tuple[np.ndarray, int, int]:
+    """Strip leading/trailing frames whose RMS is below ``threshold``
+    (numpy kernel): returns (trimmed pcm, lead samples cut, trail
+    samples cut). Frame-quantized so the cut never splits mid-frame."""
+    if len(x) == 0:
+        return x, 0, 0
+    n_frames = max(1, len(x) // frame)
+    usable = n_frames * frame
+    frames = x[:usable].astype(np.float64).reshape(n_frames, frame)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    active = np.flatnonzero(rms >= threshold)
+    if len(active) == 0:
+        return x[:0], len(x), 0
+    lead = int(active[0]) * frame
+    if int(active[-1]) == n_frames - 1:
+        end = len(x)  # keep the partial tail attached to an active final frame
+    else:
+        end = (int(active[-1]) + 1) * frame
+    return x[lead:end], lead, len(x) - end
+
+
+def trim_silence_stats(threshold: float = 0.01, frame: int = 160):
+    """Fused decode → silence-trim → stats in ONE Arrow stage (the ASR
+    corpus-prep pass): per clip returns the trimmed extent and the RMS
+    of the active region — PCM never crosses Arrow. Pair with
+    :func:`trim_silence_bytes` when the trimmed audio itself is the
+    output."""
+    schema = StructType(
+        [
+            StructField("lead_ms_removed", DoubleType()),
+            StructField("trail_ms_removed", DoubleType()),
+            StructField("active_ms", DoubleType()),
+            StructField("active_rms", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _stats(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+        cols = {k: [] for k in ("lead_ms_removed", "trail_ms_removed", "active_ms", "active_rms")}
+        for b, c, sr in zip(raw, codec, sr_hz):
+            if b is None or c is None or not sr:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            x = decode_clip(b, c)
+            t, lead, trail = trim_silence(x, threshold, frame)
+            ms = 1000.0 / sr
+            cols["lead_ms_removed"].append(lead * ms)
+            cols["trail_ms_removed"].append(trail * ms)
+            cols["active_ms"].append(len(t) * ms)
+            xd = t.astype(np.float64)
+            cols["active_rms"].append(float(np.sqrt((xd * xd).mean())) if len(t) else 0.0)
+        return pd.DataFrame(cols)
+
+    return _stats
+
+
+def trim_silence_bytes(threshold: float = 0.01, frame: int = 160, out_codec: str = "pcm_s16le"):
+    """Fused decode → silence-trim → re-encode (bytes in, bytes out)."""
+
+    @F.pandas_udf(BinaryType())
+    def _trim(raw: pd.Series, codec: pd.Series) -> pd.Series:
+        out = []
+        for b, c in zip(raw, codec):
+            if b is None or c is None:
+                out.append(None)
+                continue
+            t, _l, _t = trim_silence(decode_clip(b, c), threshold, frame)
+            out.append(encode_clip(t, out_codec))
+        return pd.Series(out, dtype=object)
+
+    return _trim
+
+
 def resample_to_udf(target_sr: int, out_codec: str = "pcm_s16le"):
     """Fused decode → resample → re-encode as one Arrow stage: the
     sample-rate-unification pass every audio training pipeline runs

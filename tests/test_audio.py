@@ -147,3 +147,55 @@ def test_resample_snr_invariant(spark):
         "pcm_s16le",
     )
     assert np.array_equal(got, local)
+
+
+def test_trim_silence_kernel_and_udf(spark):
+    """Silence trimming: frame-quantized lead/trail cut, stats + bytes
+    paths agree, all-silent clips trim to zero."""
+    import numpy as np
+
+    from dataflows_spark.functions import audio
+
+    sr = 16000
+    lead = np.zeros(3200, dtype=np.float32)            # 200 ms silence
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / sr)).astype(np.float32)
+    trail = np.zeros(1600, dtype=np.float32)           # 100 ms silence
+    x = np.concatenate([lead, tone, trail])
+
+    t, l, r = audio.trim_silence(x, threshold=0.01, frame=160)
+    assert l == 3200 and r == 1600 and len(t) == 8000
+
+    raw = audio.encode_clip(x, "pcm_s16le")
+    df = spark.createDataFrame(
+        [("c1", bytearray(raw), "pcm_s16le", sr), ("c2", bytearray(audio.encode_clip(np.zeros(1600, dtype=np.float32), "ulaw")), "ulaw", sr)],
+        schema="clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    stats = {r_["clip_id"]: r_ for r_ in df.withColumn(
+        "st", audio.trim_silence_stats()("bytes", "codec", "sr_hz")
+    ).select("clip_id", "st.*").collect()}
+    assert abs(stats["c1"]["lead_ms_removed"] - 200.0) < 1e-9
+    assert abs(stats["c1"]["trail_ms_removed"] - 100.0) < 1e-9
+    assert abs(stats["c1"]["active_ms"] - 500.0) < 1e-9
+    assert stats["c2"]["active_ms"] == 0.0  # all silence
+
+    trimmed = {r_["clip_id"]: bytes(r_["b"]) for r_ in df.withColumn(
+        "b", audio.trim_silence_bytes()("bytes", "codec")
+    ).select("clip_id", "b").collect()}
+    got = audio.decode_clip(trimmed["c1"], "pcm_s16le")
+    assert len(got) == 8000
+    assert audio.snr_db(tone, got) >= 30.0
+
+
+def test_trim_silence_partial_tail_kept():
+    """A partial final frame following an ACTIVE last full frame is
+    signal continuation — it must be kept, not quantized away."""
+    import numpy as np
+
+    from dataflows_spark.functions import audio
+
+    x = np.concatenate([
+        np.zeros(320, dtype=np.float32),
+        np.full(480 + 37, 0.5, dtype=np.float32),  # active through a partial tail
+    ])
+    t, lead, trail = audio.trim_silence(x, threshold=0.01, frame=160)
+    assert lead == 320 and trail == 0 and len(t) == 480 + 37

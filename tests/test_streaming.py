@@ -398,3 +398,38 @@ def test_session_counters_stream(spark, tmp_path):
     s1 = rows[("a", TS(2024, 1, 1, 0, 0))]
     assert s1["counters"] == "x:2,y:1"
     assert s1["session_end"] == TS(2024, 1, 1, 0, 12)  # last event 00:07 + 5m gap
+
+
+def test_windowed_counters_checkpoint_restart(spark, tmp_path):
+    """Custom stateful counters survive a query kill/restart from the
+    same checkpoint: state (the value→count map) resumes, the closed
+    window emits exactly once with counts spanning both runs."""
+    from dataflows_spark.streaming.stateful import windowed_counters_stream
+
+    in_dir, cp, out = _stream_dir_setup(tmp_path, "wcr")
+    schema = "k string, v string, ts timestamp"
+
+    def run():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+        counted = windowed_counters_stream(stream, "ts", "5 minutes", ["k"], "v", watermark="1 minute")
+        sink = ExactlyOnceParquetSink(out)
+        q = (
+            counted.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()  # kill
+        return sink
+
+    _write_batch(spark, [("a", "x", TS(2024, 1, 1, 0, 1)), ("a", "x", TS(2024, 1, 1, 0, 2))], schema, in_dir, "b1")
+    run()  # first run accumulates state, window still open
+    _write_batch(spark, [("a", "y", TS(2024, 1, 1, 0, 3))], schema, in_dir, "b2")
+    _write_batch(spark, [("a", "z", TS(2024, 1, 1, 1, 0))], schema, in_dir, "b3")
+    _write_batch(spark, [("a", "z", TS(2024, 1, 1, 2, 0))], schema, in_dir, "b4")
+    sink = run()  # restart from the same checkpoint
+
+    rows = [r for r in sink.read(spark).collect() if r["window_start"] == TS(2024, 1, 1, 0, 0)]
+    assert len(rows) == 1  # exactly once
+    assert rows[0]["counters"] == "x:2,y:1"  # state spans both runs
