@@ -499,6 +499,19 @@ def q_embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components (min-label
+    propagation, one shuffle join per round) over the LSH near-dup pair
+    graph. Oracle = recursive CTE computing min-reachable-id — an exact
+    independent check of the distributed CC algorithm."""
+    u = _emb_with_dups(spark, sf)
+    pairs = sim.lsh_neardup_pairs(
+        u, "embedding", "vec_id", threshold=0.99, dim=64, bits=8, seed=42
+    ).select("id_a", "id_b")
+    cc = ddp.connected_components(pairs, nodes=u.select(F.col("vec_id").alias("id")))
+    return cc.select(F.col("id").alias("vec_id"), "cluster")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -841,6 +854,7 @@ _QUERIES = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
+        "neardup_clusters": q_neardup_clusters,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1244,6 +1258,23 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
+    )
+    sql["neardup_clusters"] = (
+        # recursive reachability closure → min reachable id per node
+        f"WITH RECURSIVE "
+        f"u AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+        f"SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50), "
+        f"base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u), "
+        f"sig AS (SELECT vec_id, v, {_lsh_sig_sql('v', bits=8)} AS s FROM base), "
+        f"e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b "
+        f"      ON a.s = b.s AND a.vec_id < b.vec_id WHERE {_cos_sql('a.v', 'b.v')} >= 0.99), "
+        f"edges AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e), "
+        f"reach(id, r) AS ("
+        f"  SELECT vec_id, vec_id FROM u "
+        f"  UNION "
+        f"  SELECT edges.d, reach.r FROM reach JOIN edges ON edges.s = reach.id"
+        f") "
+        f"SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY 1"
     )
     sql["simhash"] = _simhash_sql("documents")
     sql["simhash_dedup"] = (

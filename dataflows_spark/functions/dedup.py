@@ -279,6 +279,69 @@ def simhash_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.withColumn("simhash", simhash64(text_col))
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive near-dup CLUSTERING: connected components over a pair
+    list (``id_a``, ``id_b``) via min-label propagation — labels start
+    as node ids, each round every node takes the min of its own and its
+    neighbors' labels, until a fixpoint. Convergence ≤ graph diameter
+    rounds (near-dup graphs are shallow: dup clusters are cliques-ish),
+    hard-capped at ``max_iterations`` with an explicit error — never a
+    silent partial clustering.
+
+    Each round is one shuffle join on the edge list — the standard
+    large-graph CC shape (GraphFrames-free). ``nodes`` (single ``id``
+    column) adds isolated vertices; defaults to the ids present in
+    ``pairs``. Returns (id, cluster) where cluster = min id reachable.
+    Keep-one-per-cluster dedup = ``filter(id == cluster)``."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    labels = nodes.withColumn("cluster", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.cluster") != F.col("n.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+
+def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep ONE row per near-dup cluster (the min-id representative):
+    the transitive completion of pairwise near-dup detection."""
+    cc = connected_components(pairs, nodes=df.select(F.col(id_col).alias("id")))
+    keep = cc.filter(F.col("id") == F.col("cluster")).select(F.col("id").alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

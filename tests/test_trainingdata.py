@@ -285,3 +285,26 @@ def test_ivf_ml_trained_recall(spark):
     exact = [r["vec_id"] for r in sim.cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
     assert approx[0] == 0 and 11 in approx
     assert len(set(approx) & set(exact)) >= 6
+
+
+def test_connected_components_transitive(spark):
+    """a-b, b-c, and d-e chains collapse transitively; isolated f keeps
+    its own cluster."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    cc = {r["id"]: r["cluster"] for r in ddp.connected_components(pairs, nodes=nodes).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph of length 12 needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    cc = {r["id"]: r["cluster"] for r in ddp.connected_components(pairs).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 13
+
+
+def test_dedup_by_clusters_keeps_one_per_cluster(spark, docs):
+    pairs = ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    kept = sorted(r["doc_id"] for r in ddp.dedup_by_clusters(docs, pairs, "doc_id").collect())
+    # docs 0/1/2/4 are one near-dup cluster (0-1,0-2,0-4...); 3 is alone
+    assert kept == [0, 3]
