@@ -243,6 +243,72 @@ def resample_pcm(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x.astype(np.float64)).astype(np.float32)
 
 
+def _mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale), rows=filters,
+    cols=rfft bins."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    mels = np.linspace(0.0, float(hz_to_mel(sr / 2.0)), n_mels + 2)
+    bins = np.floor((n_fft + 1) * mel_to_hz(mels) / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        l, c, r = bins[i], bins[i + 1], bins[i + 2]
+        for b in range(l, min(c, fb.shape[1])):
+            if c > l:
+                fb[i, b] = (b - l) / (c - l)
+        for b in range(c, min(r, fb.shape[1])):
+            if r > c:
+                fb[i, b] = (r - b) / (r - c)
+    return fb
+
+
+def logmel_frames(x: np.ndarray, sr: int, n_mels: int = 16, n_fft: int = 400, hop: int = 160) -> np.ndarray:
+    """Log-mel spectrogram (frames × n_mels) — the standard ASR
+    front-end, numpy-only: framed rfft power → mel filterbank → log."""
+    xd = x.astype(np.float64)
+    if len(xd) < n_fft:
+        xd = np.pad(xd, (0, n_fft - len(xd)))
+    n_frames = 1 + (len(xd) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = xd[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = _mel_filterbank(n_mels, n_fft, sr)
+    return np.log(power @ fb.T + 1e-10)
+
+
+def decode_logmel_stats(n_mels: int = 16, n_fft: int = 400, hop: int = 160):
+    """Fused decode → log-mel → per-band summary (mean + std arrays) in
+    one Arrow stage: the featurization pass of an audio training
+    pipeline, returning 2·n_mels scalars per clip instead of the full
+    spectrogram (PCM and frames never cross Arrow)."""
+    schema = StructType(
+        [
+            StructField("mel_mean", ArrayType(DoubleType())),
+            StructField("mel_std", ArrayType(DoubleType())),
+            StructField("n_frames", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _logmel(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+        means, stds, nf = [], [], []
+        for b, c, sr in zip(raw, codec, sr_hz):
+            if b is None or c is None or not sr:
+                means.append(None), stds.append(None), nf.append(None)
+                continue
+            m = logmel_frames(decode_clip(b, c), int(sr), n_mels, n_fft, hop)
+            means.append([float(v) for v in m.mean(axis=0)])
+            stds.append([float(v) for v in m.std(axis=0)])
+            nf.append(int(m.shape[0]))
+        return pd.DataFrame({"mel_mean": means, "mel_std": stds, "n_frames": nf})
+
+    return _logmel
+
+
 def trim_silence(x: np.ndarray, threshold: float = 0.01, frame: int = 160) -> tuple[np.ndarray, int, int]:
     """Strip leading/trailing frames whose RMS is below ``threshold``
     (numpy kernel): returns (trimmed pcm, lead samples cut, trail

@@ -199,3 +199,31 @@ def test_trim_silence_partial_tail_kept():
     ])
     t, lead, trail = audio.trim_silence(x, threshold=0.01, frame=160)
     assert lead == 320 and trail == 0 and len(t) == 480 + 37
+
+
+def test_logmel_concentrates_tone_energy(spark):
+    """A pure tone's energy lands in the mel band containing its
+    frequency; the fused UDF matches the local kernel."""
+    import numpy as np
+
+    from dataflows_spark.functions import audio
+
+    sr, f0 = 16000, 440.0
+    t = np.arange(sr // 2) / sr
+    x = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    m = audio.logmel_frames(x, sr, n_mels=16)
+    band = int(m.mean(axis=0).argmax())
+    # 440 Hz sits low on the mel scale for a 0..8 kHz range
+    assert 0 <= band <= 4
+
+    raw = audio.encode_clip(x, "pcm_s16le")
+    df = spark.createDataFrame(
+        [("c1", bytearray(raw), "pcm_s16le", sr)],
+        schema="clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    r = df.withColumn("lm", audio.decode_logmel_stats(n_mels=16)("bytes", "codec", "sr_hz")).select("lm.*").collect()[0]
+    assert int(np.argmax(r["mel_mean"])) == band
+    assert r["n_frames"] == m.shape[0]
+    # the UDF sees the int16-quantized roundtrip — compare like for like
+    m_q = audio.logmel_frames(audio.decode_clip(raw, "pcm_s16le"), sr, n_mels=16)
+    assert np.allclose(r["mel_mean"], m_q.mean(axis=0))
