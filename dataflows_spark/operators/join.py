@@ -334,6 +334,13 @@ class join(Stage):
             return
 
         target = pkg[self.target_name]
+        if target.isStreaming and not source.isStreaming:
+            # stream-static enrichment: the aggregated dim side is batch,
+            # but Spark's streaming checker rejects expressions like
+            # monotonically_increasing_id ANYWHERE in the query plan —
+            # materialize the (small, aggregated) static side so only its
+            # result enters the streaming plan
+            agg = agg.localCheckpoint(eager=True)
         fields = expand_fields(fix_fields(self.fields), source.columns)
         new_cols = list(fields)
 

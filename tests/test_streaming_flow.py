@@ -218,3 +218,34 @@ def test_flow_streaming_audio_decode_restart(spark, tmp_path):
     }
     for r in result:
         assert r["transcript"] == expected[r["clip_id"]], r["clip_id"]
+
+
+def test_batch_join_processor_enriches_stream(spark, tmp_path):
+    """North-star parity: the SAME `join` processor (batch semantics,
+    aggregated source) composes into a streaming chain as a
+    stream-static enrichment join — no special stage needed."""
+    from dataflows_spark import join
+    from dataflows_spark.streaming import ExactlyOnceParquetSink, dump_stream, load_stream
+
+    in_dir, cp, out = _prep_dirs(tmp_path, "es_in", "es_cp", "es_out")
+    clips = clips_df(spark, 60, dur_min=200, dur_max=400).drop("bytes").coalesce(1)
+    clips.write.mode("overwrite").parquet(in_dir)
+
+    flow = Flow(
+        load_stream(in_dir, name="clips", schema=CLIPS_SCHEMA_NOBYTES),
+        lambda ctx, pkg: pkg.add(
+            "codec_dim",
+            spark.createDataFrame(
+                [("pcm_s16le", 16), ("pcm_f32le", 32), ("ulaw", 8), ("alaw", 8)],
+                schema="codec string, bits int",
+            ),
+        ),
+        join("codec_dim", ["codec"], "clips", ["codec"], {"bits": None}, mode="half-outer"),
+        dump_stream(out, cp, resources="clips", process_all=True, output_mode="append"),
+    )
+    flow.process(spark)
+    rows = ExactlyOnceParquetSink(out).read(spark).collect()
+    assert len(rows) == 60
+    assert all(r["bits"] in (8, 16, 32) for r in rows)
+    by_codec = {r["codec"]: r["bits"] for r in rows}
+    assert by_codec.get("ulaw", 8) == 8
