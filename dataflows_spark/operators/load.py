@@ -197,7 +197,11 @@ class load(Stage):
             wanted = [r for r in wanted if r in sel]
         for rname in wanted:
             meta = dict(manifest.get("resource_meta", {}).get(rname, {}))
-            path = meta.get("path") or os.path.join(base, rname)
+            path = meta.get("path")
+            if not path or not os.path.exists(path):
+                # relocated packages (zip extraction, copied dirs): resolve
+                # relative to the manifest, not the recorded origin
+                path = os.path.join(base, rname)
             fmt = meta.get("format")
             if fmt is None:  # older manifests: sniff from the part files
                 exts = {os.path.splitext(f)[1] for f in os.listdir(path) if not f.startswith(("_", "."))}
@@ -211,6 +215,16 @@ class load(Stage):
         src = self.source
         if src.startswith("env://"):
             src = os.environ[src[6:]]
+        if src.endswith(".zip") and os.path.isfile(src):
+            # a dump_to_zip package: extract and load its manifest
+            import tempfile
+            import zipfile
+
+            tmp = tempfile.mkdtemp(prefix="dfs_zip_")
+            with zipfile.ZipFile(src) as zf:
+                zf.extractall(tmp)
+            self._load_datapackage(ctx, pkg, os.path.join(tmp, "datapackage.json"))
+            return
         if os.path.basename(src) == "datapackage.json" or self.format == "datapackage":
             self._load_datapackage(ctx, pkg, src)
             return

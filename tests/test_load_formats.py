@@ -167,3 +167,17 @@ def test_load_geojson_features(spark, tmp_path):
     assert rows["a"]["pop"] == 10
     geom = _json.loads(rows["a"]["geometry"])
     assert geom["type"] == "Point" and geom["coordinates"] == [34.75, 32.06]
+
+
+def test_load_zip_package_roundtrip(spark, tmp_path):
+    """load() reads a dump_to_zip package back by manifest (paths
+    resolved relative to the extracted manifest, not the origin dir)."""
+    from dataflows_spark import dump_to_zip
+
+    out = str(tmp_path / "pkg2.zip")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_zip(out, format="csv"),
+    ).process(spark)
+    pkg = Flow(load(out)).dataframes(spark)
+    assert pkg["region"].count() == 5
