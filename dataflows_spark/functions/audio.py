@@ -315,7 +315,14 @@ def trim_silence(x: np.ndarray, threshold: float = 0.01, frame: int = 160) -> tu
     samples cut). Frame-quantized so the cut never splits mid-frame."""
     if len(x) == 0:
         return x, 0, 0
-    n_frames = max(1, len(x) // frame)
+    if len(x) < frame:
+        # sub-frame clip: treat the whole clip as one partial frame —
+        # reshape on a padded-out frame count would raise ValueError
+        xd = x.astype(np.float64)
+        if float(np.sqrt((xd * xd).mean())) >= threshold:
+            return x, 0, 0
+        return x[:0], len(x), 0
+    n_frames = len(x) // frame
     usable = n_frames * frame
     frames = x[:usable].astype(np.float64).reshape(n_frames, frame)
     rms = np.sqrt((frames * frames).mean(axis=1))

@@ -347,12 +347,25 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. Brute-force O(n²) with id<id
-    pruning — correct baseline; the scale path buckets by an LSH
-    hyperplane signature first (see similarity.lsh_bucket)."""
+    pruning — a correctness BASELINE for fixture scale only; the scale
+    path is :func:`~dataflows_spark.functions.similarity.
+    lsh_neardup_pairs` (hyperplane-LSH bucket equi-join + exact verify).
+
+    Guarded: raises above ``max_rows`` rows rather than silently
+    launching an O(n²) cartesian on a large input (pass a higher
+    ``max_rows`` to override deliberately)."""
     from .similarity import cosine_sim
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is a brute-force O(n²) baseline; input has "
+            f"{n} rows > max_rows={max_rows}. Use similarity.lsh_neardup_pairs for "
+            f"the scale path, or raise max_rows explicitly."
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -132,11 +132,16 @@ class dump_to_path(Stage):
             pkg_hash = hashlib.md5(",".join(sorted(hash_counters.values())).encode()).hexdigest()
             final_path = os.path.join(self.out_path, pkg_hash)
             os.makedirs(final_path, exist_ok=True)
-            for entry in list(os.listdir(self.out_path)):
-                if entry != pkg_hash:
-                    os.rename(os.path.join(self.out_path, entry), os.path.join(final_path, entry))
+            # move ONLY the resources this dump just wrote — out_path may
+            # hold unrelated entries or a previous dump's hash dir; a
+            # re-dump with an unchanged hash replaces in place (idempotent)
             for rname in pkg.select_names(self.resources):
-                pkg.resource_meta[rname]["path"] = os.path.join(final_path, rname)
+                src = os.path.join(self.out_path, rname)
+                dst = os.path.join(final_path, rname)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+                pkg.resource_meta[rname]["path"] = dst
             pkg.stats.setdefault("dump", {})["hash"] = pkg_hash
         # the manifest is written AFTER any hash-rename so its resource
         # paths are the final on-disk locations (load(datapackage.json)
@@ -298,6 +303,34 @@ class dump_to_sql(Stage):
             w = w.option(k, v)
         w.save()
 
+    @staticmethod
+    def _table_exists(conn, table: str) -> bool:
+        """Probe the catalog with the server's actual identifier folding:
+        the name as written, then upper/lower per the driver's
+        storesUpperCaseIdentifiers/storesLowerCaseIdentifiers flags (with
+        both folds as a fallback when the driver can't say). An
+        upper-only probe finds Derby/Oracle tables but silently misses
+        them on lower-folding servers like PostgreSQL — which would turn
+        every 'update' run into an append."""
+        meta = conn.getMetaData()
+        candidates = [table]
+        try:
+            if meta.storesUpperCaseIdentifiers():
+                candidates.append(table.upper())
+            if meta.storesLowerCaseIdentifiers():
+                candidates.append(table.lower())
+            if len(candidates) == 1:  # case-sensitive/mixed catalogs
+                candidates += [table.upper(), table.lower()]
+        except Exception:
+            candidates += [table.upper(), table.lower()]
+        for cand in dict.fromkeys(candidates):
+            rs = meta.getTables(None, None, cand, None)
+            found = rs.next()
+            rs.close()
+            if found:
+                return True
+        return False
+
     def _upsert(self, ctx: Context, df, url: str, table: str, keys: list[str]) -> None:
         jvm = ctx.spark._jvm
         staging = f"{table}__staging"
@@ -306,10 +339,7 @@ class dump_to_sql(Stage):
         batch = df.dropDuplicates(keys)
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            meta = conn.getMetaData()
-            rs = meta.getTables(None, None, table.upper(), None)
-            target_exists = rs.next()
-            rs.close()
+            target_exists = self._table_exists(conn, table)
         finally:
             conn.close()
         if not target_exists:

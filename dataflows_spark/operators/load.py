@@ -216,11 +216,17 @@ class load(Stage):
         if src.startswith("env://"):
             src = os.environ[src[6:]]
         if src.endswith(".zip") and os.path.isfile(src):
-            # a dump_to_zip package: extract and load its manifest
+            # a dump_to_zip package: extract and load its manifest. The
+            # extracted copy must outlive the flow (lazy DataFrames keep
+            # reading from it), so clean up at interpreter exit rather
+            # than in a flow finalizer
+            import atexit
+            import shutil
             import tempfile
             import zipfile
 
             tmp = tempfile.mkdtemp(prefix="dfs_zip_")
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
             with zipfile.ZipFile(src) as zf:
                 zf.extractall(tmp)
             self._load_datapackage(ctx, pkg, os.path.join(tmp, "datapackage.json"))

@@ -154,18 +154,24 @@ class printer(Stage):
             if self.fields:
                 df = df.select(*self.fields)
             header = ["#"] + list(df.columns)
-            head = df.limit(self.num_rows + 1).collect()
-            truncated = len(head) > self.num_rows
+            # fetch head+tail+1 rows in ONE pass: only emit a separate
+            # tail (and the ellipsis) when the total actually exceeds
+            # num_rows+last_rows — otherwise rows between num_rows and
+            # the tail would print twice with a misleading '...' between
+            fetch = self.num_rows + (self.last_rows or 0) + 1
+            head = df.limit(fetch).collect()
+            truncated = len(head) == fetch
+            shown = head[: self.num_rows] if truncated else head[: len(head)]
             body = [
                 [str(i + 1)] + [self._cell(r[c]) for c in df.columns]
-                for i, r in enumerate(head[: self.num_rows])
+                for i, r in enumerate(shown)
             ]
             if self.last_rows and truncated:
                 tail = df.tail(self.last_rows)
                 body.append(["..."] * len(header))
                 body.extend([""] + [self._cell(r[c]) for c in df.columns] for r in tail)
             elif truncated:
-                body.append(["..."] * len(header))
+                body = body[: self.num_rows] + [["..."] * len(header)]
             self.header_print(rname)
             print(self._render(header, body))
 

@@ -32,8 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is on the JVM classpath. Uses
+    ``Class.forName`` — a bare py4j attribute walk
+    (``spark._jvm.org.apache.iceberg.Table``) returns a ``JavaPackage``
+    placeholder instead of raising, so it can never say no."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

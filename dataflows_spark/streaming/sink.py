@@ -13,12 +13,15 @@ semantics. Structured-Streaming-native re-expression:
   documented idempotent-``foreachBatch`` pattern and scales linearly —
   no read-modify-write of existing data.
 
-- :class:`KeyedMergeSink` — per-batch MERGE-by-key (upsert) into a
-  snapshot-pointer parquet table (:class:`~dataflows_spark.sources.
-  table.SnapshotTable`), i.e. the Iceberg ``MERGE INTO`` fallback when
-  the Iceberg runtime jar is absent (SURVEY.md §7.4 item 6). With
-  Iceberg on the classpath the same class emits a real
-  ``MERGE INTO`` statement instead.
+- :class:`KeyedMergeSink` — per-batch MERGE-by-key (upsert). Two
+  physical paths behind one API (SURVEY.md §7.4 item 6): pass
+  ``iceberg_table=`` and (gated on
+  :func:`~dataflows_spark.sources.table.iceberg_available`) each batch
+  runs a real SQL ``MERGE INTO`` against the Iceberg catalog table —
+  file-skipping, no snapshot rewrite; the default path merges into a
+  snapshot-pointer parquet table
+  (:class:`~dataflows_spark.sources.table.SnapshotTable`), the
+  in-sandbox fallback where the Iceberg runtime jar is absent.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.table import SnapshotTable
+from ..sources.table import SnapshotTable, iceberg_available
 
 
 def _atomic_write(path: str, payload: dict) -> None:
@@ -64,9 +67,17 @@ class ExactlyOnceParquetSink:
         if self.dedup_keys:
             df = df.dropDuplicates(self.dedup_keys)
         target = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        df.write.mode("overwrite").parquet(target)
-        rows = df.count()
-        _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id, "rows": rows})
+        # row count for the marker rides the write itself via observe —
+        # a separate df.count() would re-evaluate the whole micro-batch
+        # (2× decode cost in the hot sink path)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"sink_batch_{batch_id}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(target)
+        _atomic_write(
+            self._commit_marker(batch_id), {"batch_id": batch_id, "rows": obs.get.get("rows", 0)}
+        )
 
     # foreachBatch entrypoint
     def __call__(self, df: DataFrame, batch_id: int) -> None:
@@ -102,18 +113,63 @@ class KeyedMergeSink:
     """Upsert-by-key sink (reference dump_to_sql 'update' mode analog):
     each micro-batch is MERGEd into the target keyed table, so
     re-delivery of a batch — or of individual rows across batches — is
-    idempotent by construction."""
+    idempotent by construction.
 
-    def __init__(self, path: str, keys: list[str], ordering: str | None = None):
-        self.table = SnapshotTable(path)
+    With ``iceberg_table='catalog.db.tbl'`` (and the Iceberg runtime on
+    the classpath — checked via :func:`iceberg_available`, raises
+    otherwise) each batch runs a real SQL ``MERGE INTO`` so the engine
+    only rewrites files containing matched keys. Without it, ``path``
+    names a :class:`SnapshotTable` parquet fallback with the same
+    upsert semantics."""
+
+    def __init__(
+        self,
+        path: str | None = None,
+        keys: list[str] | None = None,
+        ordering: str | None = None,
+        iceberg_table: str | None = None,
+    ):
+        if not keys:
+            raise ValueError("KeyedMergeSink requires merge keys")
+        if (path is None) == (iceberg_table is None):
+            raise ValueError("KeyedMergeSink takes exactly one of path= or iceberg_table=")
+        self.table = SnapshotTable(path) if path else None
+        self.iceberg_table = iceberg_table
         self.keys = keys
         self.ordering = ordering
 
+    def _merge_iceberg(self, batch: DataFrame) -> None:
+        spark = batch.sparkSession
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"iceberg_table={self.iceberg_table!r} requested but the Iceberg "
+                "runtime jar is not on the classpath; use path= for the parquet "
+                "SnapshotTable fallback"
+            )
+        if not spark.catalog.tableExists(self.iceberg_table):
+            batch.writeTo(self.iceberg_table).using("iceberg").create()
+            return
+        view = f"__dfs_merge_src_{uuid.uuid4().hex[:8]}"
+        batch.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
+            spark.sql(
+                f"MERGE INTO {self.iceberg_table} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         batch = df.dropDuplicates(self.keys)
-        self.table.merge(batch, self.keys)
+        if self.iceberg_table:
+            self._merge_iceberg(batch)
+        else:
+            self.table.merge(batch, self.keys)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        if self.iceberg_table:
+            return spark.table(self.iceberg_table)
         return self.table.read(spark)
 
 

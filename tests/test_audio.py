@@ -227,3 +227,27 @@ def test_logmel_concentrates_tone_energy(spark):
     # the UDF sees the int16-quantized roundtrip — compare like for like
     m_q = audio.logmel_frames(audio.decode_clip(raw, "pcm_s16le"), sr, n_mels=16)
     assert np.allclose(r["mel_mean"], m_q.mean(axis=0))
+
+
+def test_trim_silence_subframe_clip(spark):
+    """Clips shorter than one frame must not crash the reshape (advisor
+    round-2): an active sub-frame clip is kept whole, a silent one trims
+    to zero, and the UDF survives a batch containing one."""
+    import numpy as np
+
+    from dataflows_spark.functions import audio
+
+    loud = np.full(100, 0.5, dtype=np.float32)          # 100 < frame=160
+    t, lead, trail = audio.trim_silence(loud, threshold=0.01, frame=160)
+    assert lead == 0 and trail == 0 and len(t) == 100
+
+    quiet = np.zeros(100, dtype=np.float32)
+    t, lead, trail = audio.trim_silence(quiet, threshold=0.01, frame=160)
+    assert lead == 100 and trail == 0 and len(t) == 0
+
+    df = spark.createDataFrame(
+        [("short", bytearray(audio.encode_clip(loud, "pcm_s16le")), "pcm_s16le", 16000)],
+        schema="clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    row = df.withColumn("st", audio.trim_silence_stats()("bytes", "codec", "sr_hz")).select("st.*").collect()[0]
+    assert abs(row["active_ms"] - 100 * 1000.0 / 16000) < 1e-9

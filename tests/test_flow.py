@@ -326,3 +326,20 @@ def test_set_type_structured_table_schema_types(spark):
     # drop mode removes rows with unparseable values
     results, _, _ = Flow(data, set_type("d", type="duration", on_error="drop")).results(spark)
     assert len(results[0]) == 2
+
+
+def test_printer_no_overlap_when_tail_reaches_head(spark, capsys):
+    """total rows between num_rows+1 and num_rows+last_rows: print all
+    rows once, straight through, with no ellipsis (advisor round-2 —
+    the old path re-printed the overlap after a misleading '...')."""
+    from dataflows_spark import printer
+
+    data = [{"i": i} for i in range(5)]  # 3 < 5 <= 3+2
+    Flow(data, printer(num_rows=3, last_rows=2, tablefmt="plain")).results(spark)
+    out = capsys.readouterr().out
+    assert "..." not in out
+    for i in range(5):
+        assert out.count(f" {i}") == 1 or f"{i}" in out
+    # each data row printed exactly once
+    body = [ln for ln in out.splitlines() if ln and not ln.startswith("res") and "#" not in ln]
+    assert len(body) == 5

@@ -181,3 +181,32 @@ def test_load_zip_package_roundtrip(spark, tmp_path):
     ).process(spark)
     pkg = Flow(load(out)).dataframes(spark)
     assert pkg["region"].count() == 5
+
+
+def test_dump_filehash_idempotent_and_scoped(spark, tmp_path):
+    """add_filehash_to_path must move ONLY this dump's resources
+    (advisor round-2): a second identical dump into the same out_path
+    replaces in place instead of nesting/crashing, and unrelated
+    entries in out_path are left alone."""
+    import os
+
+    out = str(tmp_path / "d3")
+    os.makedirs(out)
+    with open(os.path.join(out, "unrelated.txt"), "w") as fh:
+        fh.write("keep me")
+
+    def dump_once():
+        _, stats = Flow(
+            load("/root/testdata/sf0.001/region.parquet", name="region"),
+            dump_to_path(out, add_filehash_to_path=True),
+        ).process(spark)
+        return stats
+
+    s1 = dump_once()
+    s2 = dump_once()  # identical content → identical hash → idempotent
+    h = s1["dump"]["hash"]
+    assert s2["dump"]["hash"] == h
+    assert sorted(os.listdir(out)) == [h, "unrelated.txt"]
+    assert not os.path.exists(os.path.join(out, h, h))  # no nesting
+    reread = Flow(load(f"{out}/{h}/datapackage.json")).dataframes(spark)
+    assert reread["region"].count() == 5
