@@ -765,6 +765,45 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_clean_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus_clean flagship executed as a STRUCTURED STREAM
+    (streaming/curation.py): quality/lang filters run stateless
+    in-stream; the exact + LSH near-dup dedup tier runs incrementally
+    per micro-batch in foreachBatch against a persisted band index;
+    survivors land through the exactly-once marker sink. Fed in two
+    doc_id-ordered micro-batches (originals, then the duplicate copies)
+    so cross-batch dedup is actually exercised; the result must match
+    the batch corpus_clean oracle row-exactly."""
+    import tempfile
+
+    from dataflows_spark.streaming import StreamingCorpusCleaner, curation_filter
+
+    tmp = tempfile.mkdtemp(prefix="dfs_curate_gate_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    docs = _docs_with_dups(spark, sf).select("doc_id", "text")
+    # chunk 1: original docs; chunk 2: the planted duplicate copies
+    # (doc_id ≥ 100000) — these must dedup against chunk 1's state
+    docs.filter(F.col("doc_id") < 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    docs.filter(F.col("doc_id") >= 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    cleaner = StreamingCorpusCleaner(os.path.join(tmp, "curated"))
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        curation_filter(sdf)
+        .writeStream.outputMode("append")
+        .foreachBatch(cleaner)
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return cleaner.read(spark)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted groupBy over the low-cardinality (skew-prone)
     event_type key — result must be IDENTICAL to a plain GROUP BY (the
@@ -844,6 +883,7 @@ _QUERIES = {
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_stream": q_corpus_clean_stream,
         "skew_salted_agg": q_skew_salted_agg,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
@@ -1197,6 +1237,9 @@ def oracle_sql() -> dict[str, str]:
         FROM dedup d LEFT JOIN dropped ON d.doc_id = dropped.doc_id
         WHERE dropped.doc_id IS NULL
     """
+    # the streaming execution of the same flagship must produce the
+    # same rows as the batch plan — one oracle gates both
+    sql["corpus_clean_stream"] = sql["corpus_clean"]
     sql["skew_salted_agg"] = (
         "SELECT event_type, count(*) AS n, max(value) AS max_value, min(value) AS min_value "
         "FROM events GROUP BY 1"

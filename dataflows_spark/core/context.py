@@ -110,6 +110,16 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # RocksDB-backed streaming state: the default in-memory/HDFS
+        # provider holds every key in executor heap — the first casualty
+        # of a long-running stream at 10^12-clip scale. RocksDB spills
+        # state to local disk with incremental checkpointing; override
+        # via extra_conf to fall back.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

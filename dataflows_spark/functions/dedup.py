@@ -68,6 +68,35 @@ def minhash_signature(col, num_hashes: int = 16, ngram: int = 3) -> Column:
     return F.array(*[minhash_hash(grams, i) for i in range(num_hashes)])
 
 
+def minhash_sig_expr(grams_col: Column, num_hashes: int) -> Column:
+    """MinHash signature expression over a MATERIALIZED grams column.
+
+    ``num_hashes ≤ 4``: ONE fold over the grams — each gram md5-hashed
+    once, the digest sliced into independent 32-bit (8-hex) values, K
+    running minima kept in a struct accumulator. Wider signatures fall
+    back to one md5 per (gram, i). Shared by :func:`with_minhash`
+    (batch) and the streaming curation tier so both produce identical
+    band hashes."""
+    if num_hashes <= 4:
+        init = F.struct(*[F.lit(1 << 62).cast("bigint").alias(f"h{i}") for i in range(num_hashes)])
+
+        def step(acc: Column, g: Column) -> Column:
+            m = F.md5(g)
+            return F.struct(
+                *[
+                    F.least(
+                        acc[f"h{i}"],
+                        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+                    ).alias(f"h{i}")
+                    for i in range(num_hashes)
+                ]
+            )
+
+        s = F.aggregate(grams_col, init, step)
+        return F.array(*[s[f"h{i}"] for i in range(num_hashes)])
+    return F.array(*[minhash_hash(grams_col, i) for i in range(num_hashes)])
+
+
 def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None) -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
@@ -85,27 +114,7 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
     the DuckDB oracle."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(n).select(F.col(id_col).alias("id"), char_ngrams(text_col, ngram).alias("__grams"))
-    if num_hashes <= 4:
-        init = F.struct(*[F.lit(1 << 62).cast("bigint").alias(f"h{i}") for i in range(num_hashes)])
-
-        def step(acc: Column, g: Column) -> Column:
-            m = F.md5(g)
-            return F.struct(
-                *[
-                    F.least(
-                        acc[f"h{i}"],
-                        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("bigint"),
-                    ).alias(f"h{i}")
-                    for i in range(num_hashes)
-                ]
-            )
-
-        s = F.aggregate(F.col("__grams"), init, step)
-        sig = F.array(*[s[f"h{i}"] for i in range(num_hashes)])
-        return grams.select("id", sig.alias("sig"))
-    return grams.select(
-        "id", F.array(*[minhash_hash(F.col("__grams"), i) for i in range(num_hashes)]).alias("sig")
-    )
+    return grams.select("id", minhash_sig_expr(F.col("__grams"), num_hashes).alias("sig"))
 
 
 def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:

@@ -1,3 +1,4 @@
+from .curation import StreamingCorpusCleaner, curation_filter
 from .join import stream_stream_join
 from .listener import LineageListener
 from .sink import ExactlyOnceParquetSink, KeyedMergeSink, start_exactly_once_query
@@ -13,6 +14,8 @@ from .stateful import latest_revision_coalescer, session_counters_stream, window
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
+    "StreamingCorpusCleaner",
+    "curation_filter",
     "dump_stream",
     "load_stream",
     "stream_deduplicate",

@@ -46,6 +46,15 @@ class LineageListener(StreamingQueryListener):
                         "numRowsTotal": s.get("numRowsTotal"),
                         "numRowsUpdated": s.get("numRowsUpdated"),
                         "numRowsDroppedByWatermark": s.get("numRowsDroppedByWatermark"),
+                        "stateMemoryUsedBytes": s.get("memoryUsedBytes"),
+                        # RocksDB provider metrics (sst sizes, commit
+                        # latencies, bytes copied) — empty dict under the
+                        # default HDFS-backed provider
+                        "stateStoreMetrics": {
+                            k: v
+                            for k, v in (s.get("customMetrics") or {}).items()
+                            if k.startswith("rocksdb")
+                        },
                     }
                     for s in p.get("stateOperators", [])
                 ],

@@ -280,10 +280,24 @@ def _lineage_stats(progress: list[dict]) -> dict:
         for p in progress
         for s in (p.get("stateOperators") or [])
     )
+    state_rows = max(
+        (int(s.get("numRowsTotal") or 0) for p in progress for s in (p.get("stateOperators") or [])),
+        default=0,
+    )
+    # RocksDB provider metrics from the final progress event (cumulative
+    # view of the state backend: sst file sizes, commit latency, ...)
+    rocksdb = {}
+    for p in progress:
+        for s in p.get("stateOperators") or []:
+            for k, v in (s.get("customMetrics") or {}).items():
+                if k.startswith("rocksdb"):
+                    rocksdb[k] = v
     return {
         "batches": len(progress),
         "total_input_rows": total_rows,
         "rows_dropped_by_watermark": dropped,
+        "state_rows_total": state_rows,
+        "state_store": rocksdb,
         "per_batch": [
             {
                 "batchId": p.get("batchId"),
