@@ -512,6 +512,21 @@ def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cc.select(F.col("id").alias("vec_id"), "cluster")
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same clustering through the alternating large-star/small-star
+    variant (O(log n) rounds on any graph shape — the deep-graph scale
+    path); must agree with the same recursive-CTE oracle as the
+    propagation variant."""
+    u = _emb_with_dups(spark, sf)
+    pairs = sim.lsh_neardup_pairs(
+        u, "embedding", "vec_id", threshold=0.99, dim=64, bits=8, seed=42
+    ).select("id_a", "id_b")
+    cc = ddp.connected_components(
+        pairs, nodes=u.select(F.col("vec_id").alias("id")), algorithm="star"
+    )
+    return cc.select(F.col("id").alias("vec_id"), "cluster")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -895,6 +910,7 @@ _QUERIES = {
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "neardup_clusters": q_neardup_clusters,
+        "neardup_clusters_star": q_neardup_clusters_star,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1266,15 +1282,28 @@ def oracle_sql() -> dict[str, str]:
         f") SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b "
         f"ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
     )
+    # mirrors functions/dedup.py::jaccard_pairs: MinHash banding over
+    # 5-gram signatures (K=4, 2 bands — identical md5 fold) as the
+    # primary blocker + adjacent length-band filter, exact 3-gram
+    # Jaccard verify
+    _jmh = ", ".join(_MINHASH_H.format(off=1 + 8 * i) + f" AS h{i}" for i in range(4))
     sql["jaccard_pairs"] = (
-        f"WITH base AS ("
-        f"  SELECT doc_id AS id, {_grams('norm')} AS grams, (length(norm) // 16)::INT AS band FROM "
-        f"  (SELECT doc_id, {_NORM} AS norm FROM {_DOCS_WITH_DUPS})"
+        f"WITH norm AS (SELECT doc_id AS id, {_NORM} AS norm FROM {_DOCS_WITH_DUPS}), "
+        f"base AS (SELECT id, {_grams('norm')} AS grams, (length(norm) // 16)::INT AS lband FROM norm), "
+        f"g5 AS (SELECT id, {_grams('norm', 5)} AS grams FROM norm), "
+        f"sigs AS (SELECT id, {_jmh} FROM g5), "
+        f"bands AS ("
+        f"  SELECT id, 0 AS band, md5(concat(h0, ',', h1)) AS band_hash FROM sigs "
+        f"  UNION ALL SELECT id, 1, md5(concat(h2, ',', h3)) FROM sigs"
+        f"), cand AS ("
+        f"  SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b "
+        f"  ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id"
         f"), pairs AS ("
-        f"  SELECT a.id AS id_a, b.id AS id_b, "
-        f"    CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 1.0 "
-        f"    ELSE len(list_intersect(a.grams, b.grams))::DOUBLE / len(list_distinct(list_concat(a.grams, b.grams))) END AS j "
-        f"  FROM base a JOIN base b ON a.id < b.id AND b.band BETWEEN a.band - 1 AND a.band + 1"
+        f"  SELECT c.id_a, c.id_b, "
+        f"    CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) = 0 THEN 1.0 "
+        f"    ELSE len(list_intersect(ga.grams, gb.grams))::DOUBLE / len(list_distinct(list_concat(ga.grams, gb.grams))) END AS j "
+        f"  FROM cand c JOIN base ga ON ga.id = c.id_a JOIN base gb ON gb.id = c.id_b "
+        f"  WHERE abs(ga.lband - gb.lband) <= 1"
         f") SELECT id_a, id_b, CAST(floor(j * 1000) AS BIGINT) AS jaccard FROM pairs WHERE j >= 0.9"
     )
     sql["ann_cosine_topk"] = (
@@ -1319,6 +1348,9 @@ def oracle_sql() -> dict[str, str]:
         f") "
         f"SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY 1"
     )
+    # both CC variants (min-label propagation, big-star/small-star) must
+    # reach the same fixpoint — one exact oracle gates both
+    sql["neardup_clusters_star"] = sql["neardup_clusters"]
     sql["simhash"] = _simhash_sql("documents")
     sql["simhash_dedup"] = (
         f"SELECT doc_id, simhash FROM ("
