@@ -55,18 +55,48 @@ def _infer_format(source: str, explicit: str | None) -> str:
     return _EXT_FORMAT.get(ext.lower(), "parquet")
 
 
+def _fetch_to_temp(url: str) -> str:
+    """Download a remote source to a temp file (removed at interpreter
+    exit), preserving the URL path's extension so format inference
+    still works. The reference's tabulator loads ``http(s)://``
+    sources transparently (reference ``processors/load.py:40-63``);
+    this is the explicit fetch-to-temp shim for the same UX — remote
+    CSVs/zips/manifests are interchange files, not scale-path data
+    (parquet at scale lives on a shared filesystem/object store the
+    cluster reads directly). Google Sheets export URLs are plain
+    ``https://...csv`` and work through the same path."""
+    import atexit
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    path = urllib.parse.urlparse(url).path
+    suffix = os.path.splitext(path)[1] or ""
+    fd, local = tempfile.mkstemp(prefix="dfs_fetch_", suffix=suffix)
+    os.close(fd)
+    atexit.register(lambda p=local: os.path.exists(p) and os.remove(p))
+    with urllib.request.urlopen(url) as resp, open(local, "wb") as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return local
+
+
 class load(Stage):
     """Load a table as a new resource.
 
-    ``source`` is a path (csv/json/parquet/orc/xlsx by extension), a
-    ``table://name`` catalog reference, a ``jdbc://`` URL with
-    ``query=``/``dbtable=`` options, or a ``datapackage.json`` manifest
-    (as written by ``dump_to_path``) which loads its named resources
-    with their saved metadata — reference load.py datapackage support.
-    ``env://VAR`` resolves the source from an environment variable
-    (reference load.py env:// support). ``sheet=`` selects the xlsx
-    worksheet (1-based index or name); ``resources=`` filters
-    datapackage resources.
+    ``source`` is a path (csv/json/parquet/orc/xlsx by extension), an
+    ``http(s)://`` URL (fetched to a temp file — reference tabulator
+    remote-source support), a ``table://name`` catalog reference, a
+    ``jdbc://`` URL with ``query=``/``dbtable=`` options, or a
+    ``datapackage.json`` manifest (as written by ``dump_to_path``)
+    which loads its named resources with their saved metadata —
+    reference load.py datapackage support. ``env://VAR`` resolves the
+    source from an environment variable (reference load.py env://
+    support). ``sheet=`` selects the xlsx worksheet (1-based index or
+    name); ``resources=`` filters datapackage resources.
     """
 
     name = "load"
@@ -215,6 +245,10 @@ class load(Stage):
         src = self.source
         if src.startswith("env://"):
             src = os.environ[src[6:]]
+        if src.startswith(("http://", "https://")):
+            src = _fetch_to_temp(src)
+            self.source = src  # downstream readers (csv header re-read,
+            # format inference) see the fetched local copy
         if src.endswith(".zip") and os.path.isfile(src):
             # a dump_to_zip package: extract and load its manifest. The
             # extracted copy must outlive the flow (lazy DataFrames keep

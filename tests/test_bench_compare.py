@@ -24,7 +24,7 @@ def test_compare_block_flags_regressions(tmp_path):
     block = bench.compare_block(result, str(p))
     assert block["per_query_ratio_cur_over_prev"] == {"q_fast": 1.5, "q_slow": 0.95}
     assert block["regressions_gt_1p3x"] == ["q_fast"]
-    assert block["headline_throughput_vs_prev"] == 1.25  # prev/cur
+    assert block["headline_slowdown_vs_prev"] == 1.25  # prev/cur: >1 = slower
 
 
 def test_compare_block_unwrapped_shape(tmp_path):

@@ -210,3 +210,35 @@ def test_dump_filehash_idempotent_and_scoped(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, h, h))  # no nesting
     reread = Flow(load(f"{out}/{h}/datapackage.json")).dataframes(spark)
     assert reread["region"].count() == 5
+
+
+def test_load_remote_url(spark, tmp_path):
+    """http(s):// sources load transparently via the fetch-to-temp shim
+    (reference tabulator remote support) — plain CSV and a remote
+    dump_to_zip package, against a local HTTP fixture server."""
+    import functools
+    import http.server
+    import threading
+
+    from dataflows_spark import dump_to_zip
+
+    root = tmp_path / "www"
+    root.mkdir()
+    (root / "data.csv").write_text("a,b\n1,x\n2,y\n")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_zip(str(root / "pkg.zip"), format="csv"),
+    ).process(spark)
+
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=str(root))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        pkg = Flow(load(f"http://127.0.0.1:{port}/data.csv", name="r")).dataframes(spark)
+        assert sorted((r["a"], r["b"]) for r in pkg["r"].collect()) == [(1, "x"), (2, "y")]
+
+        pkg2 = Flow(load(f"http://127.0.0.1:{port}/pkg.zip")).dataframes(spark)
+        assert pkg2["region"].count() == 5
+    finally:
+        srv.shutdown()
