@@ -263,11 +263,24 @@ def run_sf1_tier() -> dict:
         "minhash_lsh_pairs",
         lambda: ddp.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5).count(),
     )
-    pairs = ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
-    timed("jaccard_pairs", pairs.count)
+    # construct INSIDE the lambda: the materialized default runs its
+    # eager enrichment checkpoint at construction time, which must be
+    # part of the measurement
+    timed(
+        "jaccard_pairs",  # default = materialized enrichment
+        lambda: ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).count(),
+    )
+    timed(
+        "jaccard_pairs_lazy",
+        lambda: ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8, materialize=False).count(),
+    )
     # materialize the edge list OUTSIDE the CC timing — otherwise the
     # clustering measurement double-counts the pair computation
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = (
+        ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     timed(
         "neardup_clusters_star",
         lambda: ddp.connected_components(edges, max_iterations=30, algorithm="star").count(),
