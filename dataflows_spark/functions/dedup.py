@@ -329,15 +329,23 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
     ngram: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: explode band
     hashes, self-equi-join on (band, band_hash) — shuffle-join on a
-    uniform key, no cross product."""
+    uniform key, no cross product.
+
+    ``materialize=True`` checkpoints the (narrow) banded table so the
+    gram+minhash work runs once instead of once per self-join side
+    (eager; measured ~2× at 120k docs) — the persisted-signature-table
+    shape a production pipeline uses."""
     rows_per_band = num_hashes // num_bands
     sig = with_minhash(df, text_col, id_col, num_hashes, ngram)
     banded = sig.select("id", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (

@@ -158,12 +158,26 @@ def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None, parse_ex
     if on_error == CLEAR:
         return df.withColumn(col, casted)
     if on_error == IGNORE:
-        # keep original value/type untouched on failure — mixed types are
-        # unrepresentable in a static column, so keep string form
+        # TRUE mixed-type passthrough (reference schema_validator keeps
+        # the uncast value in place): a static StructType can't hold
+        # per-row mixed types, but Spark 4's VARIANT can — rows that
+        # cast hold the TYPED value (number/bool), failures hold the
+        # original string. Collectors see VariantVal; `.toPython()`
+        # yields int/float/bool/str per row, matching the reference's
+        # mixed-list output.
+        def quoted(c):
+            esc = F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), r'"', r'\"')
+            return F.concat(F.lit('"'), esc, F.lit('"'))
+
+        bare_json_ok = dtype in ("number", "integer", "boolean")
+        ok_json = casted.cast("string") if bare_json_ok else quoted(casted.cast("string"))
         return df.withColumn(
             col,
-            F.when(casted.isNotNull() | F.col(col).isNull(), casted.cast("string"))
-            .otherwise(F.col(col).cast("string")),
+            F.try_parse_json(
+                F.when(F.col(col).isNull(), F.lit(None))
+                .when(casted.isNotNull(), ok_json)
+                .otherwise(quoted(F.col(col).cast("string")))
+            ),
         )
     # RAISE: failures surface at action time via assert_true
     guard = F.assert_true(
