@@ -780,6 +780,31 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling (reproducible sampleBy): keep
+    90% of 'en', 50% of 'de', 10% of everything else, decided per-row
+    by md5(doc_id) — same survivors on any cluster/engine/run; the
+    oracle reproduces the hash bit-for-bit. No shuffle: the whole op
+    is a scan-level filter."""
+    from dataflows_spark.functions import sampling as smp
+
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return smp.stratified_sample(
+        docs, "lang", {"en": 0.9, "de": 0.5}, "doc_id", default_fraction=0.1, salt="s1"
+    ).select("doc_id", "lang")
+
+
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget document packing via the distributed prefix-sum
+    (range partition → partition-local window → tiny offsets pass) —
+    result independent of the partition count; oracle = the plain
+    single-window SQL."""
+    from dataflows_spark.functions import sampling as smp
+
+    docs = spark.read.parquet(_t(sf, "documents"))
+    return smp.pack_documents(docs, "doc_id", "n_chars", budget=50_000)
+
+
 def q_corpus_clean_stream(spark: SparkSession, sf: str) -> DataFrame:
     """The corpus_clean flagship executed as a STRUCTURED STREAM
     (streaming/curation.py): quality/lang filters run stateless
@@ -899,6 +924,8 @@ _QUERIES = {
         "quality_score": q_quality_score,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_stream": q_corpus_clean_stream,
+        "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
         "skew_salted_agg": q_skew_salted_agg,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
@@ -1256,6 +1283,21 @@ def oracle_sql() -> dict[str, str]:
     # the streaming execution of the same flagship must produce the
     # same rows as the batch plan — one oracle gates both
     sql["corpus_clean_stream"] = sql["corpus_clean"]
+    # mirrors functions/sampling.py::_hash_unit: md5(key ':' salt)[:8]
+    # as a 32-bit int scaled to [0,1)
+    _u = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':s1')), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    sql["stratified_sample"] = (
+        f"SELECT doc_id, lang FROM documents WHERE {_u} < "
+        f"(CASE WHEN lang = 'de' THEN 0.5 WHEN lang = 'en' THEN 0.9 ELSE 0.1 END)"
+    )
+    sql["pack_shards"] = (
+        "SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS tokens, "
+        "CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) - n_chars) / 50000) AS BIGINT) AS shard FROM documents"
+    )
     sql["skew_salted_agg"] = (
         "SELECT event_type, count(*) AS n, max(value) AS max_value, min(value) AS min_value "
         "FROM events GROUP BY 1"

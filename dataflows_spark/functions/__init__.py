@@ -1,3 +1,3 @@
-from . import audio, dedup, multimodal, similarity, text
+from . import audio, dedup, multimodal, sampling, similarity, text
 
-__all__ = ["audio", "dedup", "multimodal", "similarity", "text"]
+__all__ = ["audio", "dedup", "multimodal", "sampling", "similarity", "text"]

@@ -402,3 +402,44 @@ def test_connected_components_star_matches_propagation(spark):
     s = sorted((r["id"], r["cluster"]) for r in star.collect())
     assert p == s
     assert sp["rounds"] >= 1 and ss["rounds"] >= 1
+
+
+def test_deterministic_sample_reproducible_and_disjoint(spark):
+    """md5-keyed sampling: identical survivors across runs, salt gives
+    independent slices, rate lands near the target."""
+    from dataflows_spark.functions import sampling as smp
+
+    df = spark.range(10_000).selectExpr("id as doc_id")
+    a1 = {r["doc_id"] for r in smp.deterministic_sample(df, 0.3, "doc_id", salt="a").collect()}
+    a2 = {r["doc_id"] for r in smp.deterministic_sample(df, 0.3, "doc_id", salt="a").collect()}
+    b = {r["doc_id"] for r in smp.deterministic_sample(df, 0.3, "doc_id", salt="b").collect()}
+    assert a1 == a2                       # reproducible
+    assert 0.27 < len(a1) / 10_000 < 0.33  # near target rate
+    # independent slices: overlap ≈ 9%, not 30%
+    assert 0.05 < len(a1 & b) / 10_000 < 0.14
+    # nested fractions: the 0.1 sample is a SUBSET of the 0.3 sample
+    c = {r["doc_id"] for r in smp.deterministic_sample(df, 0.1, "doc_id", salt="a").collect()}
+    assert c <= a1
+
+
+def test_pack_documents_partition_independent(spark):
+    """The distributed prefix-sum shard assignment equals the global
+    single-window definition and does not depend on partition count."""
+    from dataflows_spark.functions import sampling as smp
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    expected = []
+    cum = 0
+    for i, t in rows:  # contiguous fill, budget 1000
+        expected.append((i, t, cum // 1000))
+        cum += t
+    for nparts in (3, 7, 16):
+        got = sorted(
+            (r["id"], r["tokens"], r["shard"])
+            for r in smp.pack_documents(df, "doc_id", "toks", budget=1000, partitions=nparts).collect()
+        )
+        assert got == expected, f"partitions={nparts}"
+    # empty input survives
+    empty = smp.pack_documents(df.filter("doc_id < 0"), "doc_id", "toks", budget=1000)
+    assert empty.count() == 0
