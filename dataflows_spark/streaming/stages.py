@@ -215,8 +215,8 @@ class dump_stream(Stage):
 
     def __init__(
         self,
-        path: str,
-        checkpoint_dir: str,
+        path: str | None = None,
+        checkpoint_dir: str | None = None,
         mode: str = "append",
         keys: list[str] | None = None,
         resources: Any = None,
@@ -224,7 +224,14 @@ class dump_stream(Stage):
         process_all: bool = False,
         output_mode: str = "update",
         collect_lineage: bool = True,
+        iceberg_table: str | None = None,
     ):
+        if checkpoint_dir is None:
+            raise ValueError("dump_stream requires checkpoint_dir")
+        if iceberg_table is not None and mode != "merge":
+            raise ValueError("iceberg_table= requires mode='merge'")
+        if iceberg_table is None and path is None:
+            raise ValueError("dump_stream requires path= (or iceberg_table= with mode='merge')")
         self.path = path
         self.checkpoint_dir = checkpoint_dir
         self.mode = mode
@@ -234,6 +241,10 @@ class dump_stream(Stage):
         self.process_all = process_all
         self.output_mode = output_mode
         self.collect_lineage = collect_lineage
+        #: target a real Iceberg catalog table (MERGE INTO per batch)
+        #: instead of the parquet SnapshotTable fallback — gated on the
+        #: runtime jar, see KeyedMergeSink
+        self.iceberg_table = iceberg_table
         self.sink = None
         self.query = None
 
@@ -246,7 +257,7 @@ class dump_stream(Stage):
                 keys = pkg.resource_meta.get(name, {}).get("primaryKey")
             else:
                 keys = self.keys
-            self.sink = KeyedMergeSink(self.path, keys=keys)
+            self.sink = KeyedMergeSink(self.path, keys=keys, iceberg_table=self.iceberg_table)
         else:
             self.sink = ExactlyOnceParquetSink(self.path, dedup_keys=self.keys)
         writer = (

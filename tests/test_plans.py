@@ -152,3 +152,27 @@ def test_corpus_clean_has_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_scanlevel_filter(spark):
+    """Deterministic sampling must be a pure filter — no exchange, no
+    rand(): one pass at any scale, reproducible rows."""
+    from dataflows_spark.functions import sampling as smp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = smp.stratified_sample(docs, "lang", {"en": 0.9}, "doc_id", default_fraction=0.1)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "rand" not in plan.lower().replace("operand", "")
+
+
+def test_pack_documents_no_single_partition_window(spark):
+    """The packing window must be partition-local (distributed prefix
+    sum) — a global ORDER BY window collapses to ONE task."""
+    from dataflows_spark.functions import sampling as smp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = smp.pack_documents(docs, "doc_id", "n_chars", budget=50_000, partitions=4)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "__pid" in plan  # the window is keyed by the partition id

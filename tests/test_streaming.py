@@ -512,3 +512,18 @@ def test_rocksdb_state_store_metrics_in_lineage(spark, tmp_path):
     lin = stats["lineage"]
     assert lin["state_rows_total"] > 0          # stateful agg held state
     assert any(k.startswith("rocksdb") for k in lin["state_store"])  # provider metrics
+
+
+def test_dump_stream_iceberg_arg_validation():
+    """dump_stream targets a real Iceberg table via iceberg_table=
+    (merge mode only); misuse fails at construction, not mid-stream."""
+    from dataflows_spark.streaming import dump_stream
+
+    with pytest.raises(ValueError):
+        dump_stream(checkpoint_dir="cp")  # neither path nor iceberg_table
+    with pytest.raises(ValueError):
+        dump_stream(iceberg_table="cat.db.t", checkpoint_dir="cp")  # needs mode='merge'
+    with pytest.raises(ValueError):
+        dump_stream("/tmp/x", None)  # checkpoint_dir required
+    st = dump_stream(iceberg_table="cat.db.t", checkpoint_dir="cp", mode="merge", keys=["k"])
+    assert st.iceberg_table == "cat.db.t" and st.path is None
