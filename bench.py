@@ -385,6 +385,10 @@ def run_sf1_tier() -> dict:
         "jaccard_pairs_lazy",
         lambda: ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8, materialize=False).count(),
     )
+    timed(
+        "jaccard_pairs_arrow",  # vectorized-numpy signature kernel
+        lambda: ddp.jaccard_pairs(docs, "text", "doc_id", threshold=0.8, hash_fn="arrow").count(),
+    )
     # materialize the edge list OUTSIDE the CC timing — otherwise the
     # clustering measurement double-counts the pair computation
     edges = (

@@ -18,6 +18,7 @@ Scale notes (the 100 TB design):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,15 +69,40 @@ def minhash_signature(col, num_hashes: int = 16, ngram: int = 3) -> Column:
     return F.array(*[minhash_hash(grams, i) for i in range(num_hashes)])
 
 
-def minhash_sig_expr(grams_col: Column, num_hashes: int) -> Column:
+def minhash_sig_expr(grams_col: Column, num_hashes: int, hash_fn: str = "md5") -> Column:
     """MinHash signature expression over a MATERIALIZED grams column.
 
-    ``num_hashes ≤ 4``: ONE fold over the grams — each gram md5-hashed
-    once, the digest sliced into independent 32-bit (8-hex) values, K
-    running minima kept in a struct accumulator. Wider signatures fall
-    back to one md5 per (gram, i). Shared by :func:`with_minhash`
-    (batch) and the streaming curation tier so both produce identical
-    band hashes."""
+    ``hash_fn``:
+    - ``'md5'`` (default): cross-engine REPRODUCIBLE — the DuckDB
+      oracles mirror it bit-for-bit. ``num_hashes ≤ 4``: ONE fold over
+      the grams — each gram md5-hashed once, the digest sliced into
+      independent 32-bit (8-hex) values, K running minima kept in a
+      struct accumulator. Wider signatures fall back to one md5 per
+      (gram, i). Shared by :func:`with_minhash` (batch) and the
+      streaming curation tier so both produce identical band hashes.
+    - ``'xxhash64'``: the PRODUCTION fast path — Spark's codegen'd
+      xxhash64 (no hex string/conv round-trip), one seeded call per
+      (gram, i) folded into running minima. ~2× the signature
+      throughput (measured at 120k docs); same banding semantics, but
+      values are Spark-specific (not oracle-mirrorable — use md5 when
+      cross-engine verification matters)."""
+    if hash_fn == "xxhash64":
+        init = F.struct(
+            *[F.lit((1 << 63) - 1).cast("bigint").alias(f"h{i}") for i in range(num_hashes)]
+        )
+
+        def xstep(acc: Column, g: Column) -> Column:
+            return F.struct(
+                *[
+                    F.least(acc[f"h{i}"], F.xxhash64(g, F.lit(i))).alias(f"h{i}")
+                    for i in range(num_hashes)
+                ]
+            )
+
+        s = F.aggregate(grams_col, init, xstep)
+        return F.array(*[s[f"h{i}"] for i in range(num_hashes)])
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: use 'md5' or 'xxhash64'")
     if num_hashes <= 4:
         init = F.struct(*[F.lit(1 << 62).cast("bigint").alias(f"h{i}") for i in range(num_hashes)])
 
@@ -97,7 +123,7 @@ def minhash_sig_expr(grams_col: Column, num_hashes: int) -> Column:
     return F.array(*[minhash_hash(grams_col, i) for i in range(num_hashes)])
 
 
-def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None) -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = "md5") -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
     the whole signature computation in one task.
@@ -114,7 +140,93 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
     the DuckDB oracle."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(n).select(F.col(id_col).alias("id"), char_ngrams(text_col, ngram).alias("__grams"))
-    return grams.select("id", minhash_sig_expr(F.col("__grams"), num_hashes).alias("sig"))
+    return grams.select("id", minhash_sig_expr(F.col("__grams"), num_hashes, hash_fn).alias("sig"))
+
+
+def with_minhash_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 4,
+    ngram: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, sig) via a BATCH-VECTORIZED Arrow kernel — the throughput
+    path for signature computation.
+
+    The Catalyst signature path spends ~95% of its time GENERATING the
+    gram array (one ``substr`` + UTF8String allocation per position —
+    measured 34.6s of 35.5s at 120k×500-char docs); the hashing fold is
+    cheap. This kernel never materializes grams: per Arrow batch it
+    concatenates the normalized texts into ONE byte buffer, computes a
+    rolling base-257 window fingerprint over the whole buffer with
+    numpy (no per-gram objects), multiplies by K odd 64-bit constants
+    (multiply-shift universal hashing), masks windows that cross
+    document boundaries, and takes per-document minima with
+    ``np.minimum.reduceat`` — fully vectorized ACROSS the batch, not
+    per row. ~10× the Catalyst signature throughput (measured).
+
+    Signatures are NOT comparable across the md5/xxhash64 expression
+    paths (different hash family) — banding semantics are identical;
+    exact duplicates always collide. Use the md5 path when a DuckDB
+    oracle must mirror values."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    sig = arrow_minhash_udf(num_hashes, ngram)
+    return df.repartition(n).select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+
+
+def arrow_minhash_udf(num_hashes: int, ngram: int):
+    """The vectorized signature kernel of :func:`with_minhash_arrow` as
+    a reusable pandas_udf (compose inline to avoid a join)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    K = num_hashes
+    # fixed odd multipliers (splitmix64 of 1..K) — deterministic
+    def _mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        return (x ^ (x >> 31)) | 1
+
+    MULTS = [_mix(i + 1) for i in range(K)]
+    N = ngram
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+")
+        norm = [
+            None if t is None else ws.sub(" ", t.lower()).strip() for t in texts
+        ]
+        # pad short/empty docs so every doc contributes ≥1 window
+        enc = [(s if s else "\0").encode("utf-8", "ignore") for s in (x or "\0" for x in norm)]
+        lens = np.fromiter((max(len(b), N) for b in enc), dtype=np.int64, count=len(enc))
+        padded = [b + b"\0" * (N - len(b)) if len(b) < N else b for b in enc]
+        buf = np.frombuffer(b"".join(padded), dtype=np.uint8).astype(np.uint64)
+        n_win = len(buf) - N + 1
+        if n_win <= 0:
+            return pd.Series([None] * len(texts))
+        # rolling base-257 fingerprint of every N-byte window in ONE pass
+        w = np.zeros(n_win, dtype=np.uint64)
+        for j in range(N):
+            w = w * np.uint64(257) + buf[j : j + n_win]
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # windows crossing a doc boundary must not count for either doc
+        doc_of = np.repeat(np.arange(len(enc)), lens)[:n_win]
+        valid = doc_of == np.repeat(np.arange(len(enc)), lens)[N - 1 : N - 1 + n_win]
+        out_cols = []
+        for m in MULTS:
+            h = w * np.uint64(m)  # multiply hashing, uint64 wraparound
+            h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+            mins = np.minimum.reduceat(h, starts)
+            out_cols.append((mins >> np.uint64(1)).astype(np.int64))  # keep positive
+        sigs = np.stack(out_cols, axis=1)
+        return pd.Series([None if norm[i] is None else [int(v) for v in sigs[i]] for i in range(len(enc))])
+
+    return _sig
 
 
 def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -220,6 +332,7 @@ def jaccard_pairs(
     num_bands: int = 2,
     sig_ngram: int = 5,
     materialize: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """n-gram-Jaccard near-dup pairs with MinHash-band blocking
     (the corpus_clean shape): candidates come from an equi-self-join on
@@ -265,14 +378,19 @@ def jaccard_pairs(
     self-join is NOT the answer: Spark re-plans it as a mis-estimated
     broadcast at scale — measured timeout at 120k docs.)"""
     t = normalize_text(text_col)
-    ghash = F.transform(
-        char_ngrams(text_col, ngram),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
-    )
+    if hash_fn in ("xxhash64", "arrow"):  # production fast paths (not oracle-mirrorable)
+        ghash = F.transform(char_ngrams(text_col, ngram), lambda g: F.xxhash64(g))
+    else:
+        ghash = F.transform(
+            char_ngrams(text_col, ngram),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        )
     rows_per_band = num_hashes // num_bands
-    bands_expr = minhash_bands(
-        minhash_sig_expr(char_ngrams(text_col, sig_ngram), num_hashes), num_bands, rows_per_band
-    )
+    if hash_fn == "arrow":
+        sig_expr = arrow_minhash_udf(num_hashes, sig_ngram)(F.col(text_col))
+    else:
+        sig_expr = minhash_sig_expr(char_ngrams(text_col, sig_ngram), num_hashes, hash_fn)
+    bands_expr = minhash_bands(sig_expr, num_bands, rows_per_band)
     lband_expr = (F.length(t) / length_band).cast("int")
     src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     banded_src = src.select(
@@ -330,6 +448,7 @@ def minhash_lsh_candidates(
     num_bands: int = 4,
     ngram: int = 3,
     materialize: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: explode band
     hashes, self-equi-join on (band, band_hash) — shuffle-join on a
@@ -340,7 +459,10 @@ def minhash_lsh_candidates(
     (eager; measured ~2× at 120k docs) — the persisted-signature-table
     shape a production pipeline uses."""
     rows_per_band = num_hashes // num_bands
-    sig = with_minhash(df, text_col, id_col, num_hashes, ngram)
+    if hash_fn == "arrow":
+        sig = with_minhash_arrow(df, text_col, id_col, num_hashes, ngram)
+    else:
+        sig = with_minhash(df, text_col, id_col, num_hashes, ngram, hash_fn=hash_fn)
     banded = sig.select("id", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     )

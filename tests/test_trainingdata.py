@@ -443,3 +443,67 @@ def test_pack_documents_partition_independent(spark):
     # empty input survives
     empty = smp.pack_documents(df.filter("doc_id < 0"), "doc_id", "toks", budget=1000)
     assert empty.count() == 0
+
+
+def test_jaccard_pairs_xxhash64_fast_path(spark):
+    """hash_fn='xxhash64' (production path): same banding semantics —
+    planted exact dups carry identical signatures under ANY hash, so
+    they're always found with jaccard 1.0; J values match the md5 path
+    (set overlap is hash-invariant modulo collisions)."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i:03d}" for i in range(300)]
+    docs = [(i, " ".join(rng.sample(words, 25))) for i in range(100)]
+    docs += [(1000 + j, docs[j][1]) for j in range(5)]  # planted exact dups
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    md5_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ddp.jaccard_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ddp.jaccard_pairs(df, "text", "doc_id", threshold=0.9, hash_fn="xxhash64").collect()
+    }
+    planted = {(j, 1000 + j) for j in range(5)}
+    assert planted <= set(md5_pairs) and planted <= set(xx_pairs)
+    for p in planted:
+        assert md5_pairs[p] == xx_pairs[p] == 1.0
+    with _pytest_raises_value_error():
+        ddp.jaccard_pairs(df, "text", "doc_id", hash_fn="sha9000").count()
+
+
+def _pytest_raises_value_error():
+    import pytest as _p
+
+    return _p.raises(ValueError, match="hash_fn")
+
+
+def test_arrow_minhash_path(spark):
+    """hash_fn='arrow' (batch-vectorized numpy signature kernel): exact
+    dups always collide (identical text → identical sig), near dups
+    found at the expected banding rate, null/empty texts survive."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i:03d}" for i in range(300)]
+    docs = [(i, " ".join(rng.sample(words, 25))) for i in range(100)]
+    docs += [(1000 + j, docs[j][1]) for j in range(5)]          # exact dups
+    docs += [(2000 + j, docs[j][1] + " tail") for j in range(5)]  # near dups
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ddp.jaccard_pairs(df, "text", "doc_id", threshold=0.8, hash_fn="arrow").collect()
+    }
+    assert {(j, 1000 + j) for j in range(5)} <= set(pairs)
+    assert all(pairs[(j, 1000 + j)] == 1.0 for j in range(5))
+    assert sum((j, 2000 + j) in pairs for j in range(5)) >= 4  # banding recall
+
+    # sig kernel is null/empty/short safe, deterministic across calls
+    df2 = spark.createDataFrame([(1, None), (2, ""), (3, "ab"), (4, "ab")], "doc_id long, text string")
+    rows = {r["id"]: r["sig"] for r in ddp.with_minhash_arrow(df2, "text", "doc_id").collect()}
+    assert rows[1] is None and rows[2] is not None
+    assert rows[3] == rows[4]  # identical text → identical sig
+    again = {r["id"]: r["sig"] for r in ddp.with_minhash_arrow(df2, "text", "doc_id").collect()}
+    assert rows == again
