@@ -167,6 +167,29 @@ def _ask(prompt: str, choices: dict | None = None, default: str | None = None) -
     return raw or (default or "")
 
 
+def _ask_multi(prompt: str, choices: dict) -> list[str]:
+    """Comma-separated multi-select; empty input = none (a bare int()
+    on the raw string would crash on '1,3' and silently pick the first
+    option on '' — round-3 review finding #2)."""
+    keys = list(choices)
+    for i, k in enumerate(keys, 1):
+        print(f"  {i}. {choices[k]}")
+    raw = input(f"{prompt} [e.g. 1,3; empty for none]: ").strip()
+    out: list[str] = []
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            idx = int(part) - 1
+            if 0 <= idx < len(keys) and keys[idx] not in out:
+                out.append(keys[idx])
+        except ValueError:
+            if part in choices and part not in out:
+                out.append(part)
+    return out
+
+
 def init(arg: str = "interactive", run: bool = True, answers: dict | None = None) -> str:
     """Bootstrap a pipeline script; returns the written filename."""
     if answers is None:
@@ -195,8 +218,7 @@ def init(arg: str = "interactive", run: bool = True, answers: dict | None = None
             )
             if answers["input"] == "sql":
                 answers["input_db_table"] = _ask("Database table to extract")
-            picked = _ask("Processing steps (comma-separated numbers, empty for none)", PROCESSING)
-            answers["processing"] = [picked] if picked in PROCESSING else []
+            answers["processing"] = _ask_multi("Processing steps", PROCESSING)
             answers["output"] = _ask("Where should the output go", OUTPUTS, default="print")
             if answers["output"] == "sql":
                 answers["output_url"] = _ask("JDBC connection string")

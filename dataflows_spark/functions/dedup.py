@@ -229,9 +229,23 @@ def arrow_minhash_udf(num_hashes: int, ngram: int):
     return _sig
 
 
+def _check_banding(num_hashes: int, num_bands: int) -> None:
+    """num_bands must divide num_hashes: rows_per_band=0 makes every
+    band hash md5('') — ALL docs collide and the banding join becomes
+    the O(N²) cross product it exists to prevent; a non-divisible
+    count silently discards hashes (round-3 review finding #6)."""
+    if num_bands < 1 or num_bands > num_hashes or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
+            f"(rows_per_band = num_hashes/num_bands must be a positive integer)"
+        )
+
+
 def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
     """Split a signature into band hashes: array of (band_id, band_hash)
     structs; equal band_hash within a band → candidate pair."""
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be ≥ 1 (see _check_banding)")
     return F.array(
         *[
             F.struct(
@@ -385,6 +399,7 @@ def jaccard_pairs(
             char_ngrams(text_col, ngram),
             lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
         )
+    _check_banding(num_hashes, num_bands)
     rows_per_band = num_hashes // num_bands
     if hash_fn == "arrow":
         sig_expr = arrow_minhash_udf(num_hashes, sig_ngram)(F.col(text_col))
@@ -458,6 +473,7 @@ def minhash_lsh_candidates(
     gram+minhash work runs once instead of once per self-join side
     (eager; measured ~2× at 120k docs) — the persisted-signature-table
     shape a production pipeline uses."""
+    _check_banding(num_hashes, num_bands)
     rows_per_band = num_hashes // num_bands
     if hash_fn == "arrow":
         sig = with_minhash_arrow(df, text_col, id_col, num_hashes, ngram)
@@ -651,12 +667,13 @@ def embedding_neardup_pairs(
     ``max_rows`` to override deliberately)."""
     from .similarity import cosine_sim
 
-    n = df.count()
-    if n > max_rows:
+    # bounded probe, not a full count: df.count() would evaluate the
+    # whole upstream plan just for the guard (round-3 review finding #9)
+    if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"embedding_neardup_pairs is a brute-force O(n²) baseline; input has "
-            f"{n} rows > max_rows={max_rows}. Use similarity.lsh_neardup_pairs for "
-            f"the scale path, or raise max_rows explicitly."
+            f"more than max_rows={max_rows} rows. Use similarity.lsh_neardup_pairs "
+            f"for the scale path, or raise max_rows explicitly."
         )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -55,23 +55,24 @@ def _infer_format(source: str, explicit: str | None) -> str:
     return _EXT_FORMAT.get(ext.lower(), "parquet")
 
 
-def _fetch_to_temp(url: str) -> str:
+def _fetch_to_temp(url: str, format_hint: str | None = None) -> str:
     """Download a remote source to a temp file (removed at interpreter
     exit), preserving the URL path's extension so format inference
-    still works. The reference's tabulator loads ``http(s)://``
-    sources transparently (reference ``processors/load.py:40-63``);
-    this is the explicit fetch-to-temp shim for the same UX — remote
-    CSVs/zips/manifests are interchange files, not scale-path data
-    (parquet at scale lives on a shared filesystem/object store the
-    cluster reads directly). Google Sheets export URLs are plain
-    ``https://...csv`` and work through the same path."""
+    still works; URLs with no path extension (Google-Sheets-style
+    export endpoints, APIs with ``?format=csv`` query strings) fall
+    back to the caller's explicit ``format=`` for the suffix. The
+    reference's tabulator loads ``http(s)://`` sources transparently
+    (reference ``processors/load.py:40-63``); this is the explicit
+    fetch-to-temp shim for the same UX — remote CSVs/zips are
+    interchange files, not scale-path data (parquet at scale lives on
+    a shared filesystem/object store the cluster reads directly)."""
     import atexit
     import tempfile
     import urllib.parse
     import urllib.request
 
     path = urllib.parse.urlparse(url).path
-    suffix = os.path.splitext(path)[1] or ""
+    suffix = os.path.splitext(path)[1] or (f".{format_hint}" if format_hint else "")
     fd, local = tempfile.mkstemp(prefix="dfs_fetch_", suffix=suffix)
     os.close(fd)
     atexit.register(lambda p=local: os.path.exists(p) and os.remove(p))
@@ -246,7 +247,17 @@ class load(Stage):
         if src.startswith("env://"):
             src = os.environ[src[6:]]
         if src.startswith(("http://", "https://")):
-            src = _fetch_to_temp(src)
+            # a bare remote datapackage.json can't work: its resource
+            # paths are directories relative to the manifest, which live
+            # on the remote server — ship packages as dump_to_zip
+            # archives instead (those DO load remotely)
+            if src.split("?")[0].endswith("datapackage.json") or self.format == "datapackage":
+                raise ValueError(
+                    "remote datapackage.json manifests are not supported (their "
+                    "resource directories live on the server); package the dump "
+                    "with dump_to_zip and load the .zip URL instead"
+                )
+            src = _fetch_to_temp(src, self.format)
             self.source = src  # downstream readers (csv header re-read,
             # format inference) see the fetched local copy
         if src.endswith(".zip") and os.path.isfile(src):

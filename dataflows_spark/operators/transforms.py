@@ -165,18 +165,26 @@ def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None, parse_ex
         # original string. Collectors see VariantVal; `.toPython()`
         # yields int/float/bool/str per row, matching the reference's
         # mixed-list output.
-        def quoted(c):
-            esc = F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), r'"', r'\"')
-            return F.concat(F.lit('"'), esc, F.lit('"'))
+        def as_variant(c):
+            # string → variant via Spark's OWN JSON escaping (to_json
+            # on a struct): hand-rolled regex escaping silently
+            # corrupted quotes and nulled control characters (round-3
+            # review finding #1); variant_get unwraps the field back
+            # out as a variant scalar, null-safe
+            return F.variant_get(
+                F.try_parse_json(F.to_json(F.struct(c.alias("x")))), "$.x", "variant"
+            )
 
         bare_json_ok = dtype in ("number", "integer", "boolean")
-        ok_json = casted.cast("string") if bare_json_ok else quoted(casted.cast("string"))
+        ok_variant = (
+            F.try_parse_json(casted.cast("string"))
+            if bare_json_ok
+            else as_variant(casted.cast("string"))
+        )
         return df.withColumn(
             col,
-            F.try_parse_json(
-                F.when(F.col(col).isNull(), F.lit(None))
-                .when(casted.isNotNull(), ok_json)
-                .otherwise(quoted(F.col(col).cast("string")))
+            F.when(casted.isNotNull(), ok_variant).otherwise(
+                as_variant(F.col(col).cast("string"))
             ),
         )
     # RAISE: failures surface at action time via assert_true

@@ -22,9 +22,10 @@ execution model:
   verified match. Per-batch cost is O(batch ⋈ matching buckets), not
   O(corpus).
 - **Exactly-once**: survivors land in per-batch parquet dirs committed
-  by atomic markers (:class:`ExactlyOnceParquetSink` protocol);
-  the index is a keyed :class:`~dataflows_spark.sources.table.
-  SnapshotTable` merge (idempotent on doc_id), so a replayed or
+  by atomic markers (:class:`ExactlyOnceParquetSink` protocol); the
+  index is APPEND-ONLY per-batch parquet (batch ids are fresh by
+  construction, and a replay overwrites its own batch dir), so
+  persisting it costs O(batch) per micro-batch and a replayed or
   half-failed micro-batch converges to the same state — proven by the
   kill-restart + replay tests.
 
@@ -50,7 +51,6 @@ from pyspark.sql import functions as F
 
 from ..functions import text as txt
 from ..functions.dedup import char_ngrams, jaccard, minhash_bands, minhash_sig_expr
-from ..sources.table import SnapshotTable
 from .sink import ExactlyOnceParquetSink
 
 
@@ -99,8 +99,21 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         #: every exact-deduped doc ever seen — near-dup drops compare
         #: against ALL of them (batch parity: a doc dropped as a
         #: near-dup still drops later docs similar to it), not just
-        #: survivors
-        self.index = SnapshotTable(os.path.join(path, "state", "index"))
+        #: survivors. APPEND-ONLY layout: one ``batch_id=N`` subdir per
+        #: micro-batch (batch ids are fresh by construction, so append
+        #: == merge), so persisting the index costs O(batch) — a keyed
+        #: snapshot merge would re-read and REWRITE the whole corpus
+        #: index every micro-batch (round-3 review finding #4).
+        #: Replay overwrites its own batch dir → idempotent.
+        self.index_dir = os.path.join(path, "state", "index")
+
+    def _index_exists(self) -> bool:
+        return os.path.isdir(self.index_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(self.index_dir)
+        )
+
+    def _read_index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.index_dir).drop("batch_id")
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
@@ -140,15 +153,15 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            have_index = self.index.exists()
+            have_index = self._index_exists()
             if have_index:
-                # REPLAY SAFETY: a half-failed batch (index merged, marker
+                # REPLAY SAFETY: a half-failed batch (index written, marker
                 # never written) re-delivers; its own docs are already in
                 # the index and would match themselves. Excluding the
                 # current batch's ids restores exactly the pre-batch index
-                # (merge is keyed on doc_id), making re-delivery
-                # bit-identical to first delivery.
-                seen = self.index.read(spark).join(
+                # (each batch's ids land only in its own dir), making
+                # re-delivery bit-identical to first delivery.
+                seen = self._read_index(spark).join(
                     enriched.select("doc_id"), on="doc_id", how="left_anti"
                 )
                 # ...then against every fingerprint already seen
@@ -199,8 +212,8 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 F.conv(F.substring("fp", 1, 15), 16, 10).cast("bigint").alias("fp_int"),
                 txt.ws_token_count("text").cast("long").alias("ws_tokens"),
             ).write.mode("overwrite").parquet(target)
-            self.index.merge(
-                batch_docs.select("doc_id", "fp", "grams", "bands"), keys=["doc_id"]
+            batch_docs.select("doc_id", "fp", "grams", "bands").write.mode("overwrite").parquet(
+                os.path.join(self.index_dir, f"batch_id={batch_id}")
             )
             from .sink import _atomic_write
 

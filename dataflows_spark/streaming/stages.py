@@ -232,6 +232,8 @@ class dump_stream(Stage):
             raise ValueError("iceberg_table= requires mode='merge'")
         if iceberg_table is None and path is None:
             raise ValueError("dump_stream requires path= (or iceberg_table= with mode='merge')")
+        if iceberg_table is not None and path is not None:
+            raise ValueError("dump_stream takes exactly one of path= or iceberg_table=")
         self.path = path
         self.checkpoint_dir = checkpoint_dir
         self.mode = mode

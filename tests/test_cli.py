@@ -65,3 +65,14 @@ def test_init_and_run_end_to_end(tmp_path):
         assert manifest["resources"] == ["cities_flow"]
     finally:
         os.chdir(cwd)
+
+
+def test_ask_multi_parsing(monkeypatch):
+    """Multi-select: empty input selects NONE (not the first option),
+    comma-separated indices and names parse, junk is ignored."""
+    answers = iter(["", "1,3", "sort, filter, 99, junk"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    assert cli._ask_multi("p", cli.PROCESSING) == []
+    keys = list(cli.PROCESSING)
+    assert cli._ask_multi("p", cli.PROCESSING) == [keys[0], keys[2]]
+    assert cli._ask_multi("p", cli.PROCESSING) == ["sort", "filter"]

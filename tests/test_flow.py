@@ -213,6 +213,14 @@ def test_set_type_ignore_true_mixed_types(spark):
     assert by_val["2.5"] == "2.5"                                  # int cast fails -> original
     assert None in py
 
+    # escaping: quotes / backslashes / newlines must round-trip EXACTLY
+    # (review finding: regex-escaped JSON corrupted quotes, nulled \n)
+    tricky = ['say "hi"', "a\\b", "line1\nline2", "tab\tend"]
+    data2 = [{"b": t} for t in tricky]
+    res2, _, _ = Flow(data2, set_type("b", type="integer", on_error="ignore")).results(spark)
+    got = sorted(r["b"].toPython() for r in res2[0])
+    assert got == sorted(tricky)
+
 
 def test_validate_raise_actually_raises(spark):
     """A Column-predicate validate with default on_error='raise' must

@@ -240,5 +240,20 @@ def test_load_remote_url(spark, tmp_path):
 
         pkg2 = Flow(load(f"http://127.0.0.1:{port}/pkg.zip")).dataframes(spark)
         assert pkg2["region"].count() == 5
+
+        # extension-less remote URL + explicit format= (Google-Sheets-
+        # style export endpoints)
+        import shutil as _sh
+
+        _sh.copy(str(root / "data.csv"), str(root / "export"))
+        pkg3 = Flow(load(f"http://127.0.0.1:{port}/export", name="r3", format="csv")).dataframes(spark)
+        assert pkg3["r3"].count() == 2
+
+        # bare remote datapackage.json: loud error with guidance, never
+        # a silent wrong read
+        import pytest as _p
+
+        with _p.raises(Exception, match="dump_to_zip"):  # Flow wraps stage errors
+            Flow(load(f"http://127.0.0.1:{port}/datapackage.json")).dataframes(spark)
     finally:
         srv.shutdown()

@@ -525,5 +525,7 @@ def test_dump_stream_iceberg_arg_validation():
         dump_stream(iceberg_table="cat.db.t", checkpoint_dir="cp")  # needs mode='merge'
     with pytest.raises(ValueError):
         dump_stream("/tmp/x", None)  # checkpoint_dir required
+    with pytest.raises(ValueError):
+        dump_stream("/tmp/x", "cp", mode="merge", keys=["k"], iceberg_table="c.d.t")  # both targets
     st = dump_stream(iceberg_table="cat.db.t", checkpoint_dir="cp", mode="merge", keys=["k"])
     assert st.iceberg_table == "cat.db.t" and st.path is None

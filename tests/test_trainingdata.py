@@ -507,3 +507,16 @@ def test_arrow_minhash_path(spark):
     assert rows[3] == rows[4]  # identical text → identical sig
     again = {r["id"]: r["sig"] for r in ddp.with_minhash_arrow(df2, "text", "doc_id").collect()}
     assert rows == again
+
+
+def test_banding_parameter_validation(spark):
+    """num_bands must divide num_hashes — rows_per_band=0 would hash
+    every doc into ONE bucket (the O(N²) cross product the banding
+    prevents); non-divisible silently discards hashes."""
+    import pytest as _p
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _p.raises(ValueError, match="num_bands"):
+        ddp.jaccard_pairs(df, "text", "doc_id", num_hashes=4, num_bands=8)
+    with _p.raises(ValueError, match="num_bands"):
+        ddp.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=5, num_bands=2)
