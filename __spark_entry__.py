@@ -780,6 +780,42 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup dedup as a STREAM: per micro-batch, LSH
+    signature equi-join against the accumulated index + exact-cosine
+    verify, first-seen survives, exactly-once output. Fed in two
+    vec_id-ordered micro-batches (originals, then the planted duplicate
+    copies) — the result must equal the batch drop rule (drop id_b of
+    every verified sig-equal pair) row-exactly."""
+    import tempfile
+
+    from dataflows_spark.streaming import StreamingEmbeddingDeduper
+
+    tmp = tempfile.mkdtemp(prefix="dfs_embdedup_gate_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    u = _emb_with_dups(spark, sf).select("vec_id", "embedding")
+    u.filter(F.col("vec_id") < 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    u.filter(F.col("vec_id") >= 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    dedup = StreamingEmbeddingDeduper(
+        os.path.join(tmp, "out"), threshold=0.99, dim=64, bits=8, seed=42
+    )
+    sdf = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(dedup)
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return dedup.read(spark)
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling (reproducible sampleBy): keep
     90% of 'en', 50% of 'de', 10% of everything else, decided per-row
@@ -924,6 +960,7 @@ _QUERIES = {
         "quality_score": q_quality_score,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_stream": q_corpus_clean_stream,
+        "embedding_dedup_stream": q_embedding_dedup_stream,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "skew_salted_agg": q_skew_salted_agg,
@@ -1283,6 +1320,21 @@ def oracle_sql() -> dict[str, str]:
     # the streaming execution of the same flagship must produce the
     # same rows as the batch plan — one oracle gates both
     sql["corpus_clean_stream"] = sql["corpus_clean"]
+    # streaming embedding dedup: survivors = everything except the id_b
+    # side of every verified sig-equal pair (first-seen == lowest id
+    # under the gate's ordered feed) — composed from the same
+    # plane-literal sig + fold-ordered cosine as embedding_neardup
+    sql["embedding_dedup_stream"] = (
+        f"WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+        f"SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50), "
+        f"base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u), "
+        f"sig AS (SELECT vec_id, v, {_lsh_sig_sql('v', bits=8)} AS s FROM base), "
+        f"e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b "
+        f"      ON a.s = b.s AND a.vec_id < b.vec_id WHERE {_cos_sql('a.v', 'b.v')} >= 0.99), "
+        f"dropped AS (SELECT DISTINCT id_b FROM e) "
+        f"SELECT u.vec_id FROM u LEFT JOIN dropped ON u.vec_id = dropped.id_b "
+        f"WHERE dropped.id_b IS NULL"
+    )
     # mirrors functions/sampling.py::_hash_unit: md5(key ':' salt)[:8]
     # as a 32-bit int scaled to [0,1)
     _u = (

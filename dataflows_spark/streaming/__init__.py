@@ -1,4 +1,4 @@
-from .curation import StreamingCorpusCleaner, curation_filter
+from .curation import StreamingCorpusCleaner, StreamingEmbeddingDeduper, curation_filter
 from .join import stream_stream_join
 from .listener import LineageListener
 from .sink import ExactlyOnceParquetSink, KeyedMergeSink, start_exactly_once_query
@@ -15,6 +15,7 @@ from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
     "StreamingCorpusCleaner",
+    "StreamingEmbeddingDeduper",
     "curation_filter",
     "dump_stream",
     "load_stream",

@@ -227,3 +227,95 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         Survivors are append-only (a new doc can never retro-drop an
         already-emitted one), so the union IS the result."""
         return super().read(spark, latest_only=False)
+
+
+class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
+    """The same incremental-dedup shape over the EMBEDDING modality:
+    each micro-batch of (id, vector) rows is near-dup-deduped against
+    the accumulated corpus via a hyperplane-LSH signature EQUI-join
+    (identical sign pattern → candidate) plus exact-cosine verify —
+    never a cross product. First-seen survives (== lowest id under
+    id-ordered arrival, where the result matches the batch
+    ``lsh_neardup_pairs`` drop rule row-exactly — the driver gate's
+    oracle). Index and output are append-only per-batch parquet with
+    atomic commit markers: O(batch) persist per micro-batch, replay
+    and half-failure converge (same protocol as
+    :class:`StreamingCorpusCleaner`)."""
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.99,
+        dim: int | None = None,
+        bits: int = 8,
+        seed: int = 42,
+    ):
+        super().__init__(path)
+        if dim is None:
+            raise ValueError("pass dim= explicitly (the scale path never infers it per batch)")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.dim = dim
+        self.bits = bits
+        self.seed = seed
+        self.index_dir = os.path.join(path, "state", "index")
+
+    def _index_exists(self) -> bool:
+        return os.path.isdir(self.index_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(self.index_dir)
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        from ..functions.similarity import cosine_sim, lsh_signature
+
+        if self.is_committed(batch_id):
+            return
+        spark = df.sparkSession
+        enriched = df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        ).withColumn("sig", lsh_signature("v", self.dim, self.bits, self.seed))
+        enriched = enriched.cache()
+        try:
+            lookup = enriched
+            if self._index_exists():
+                seen = (
+                    spark.read.parquet(self.index_dir)
+                    .drop("batch_id")
+                    # replay safety: exclude this batch's own rows
+                    .join(enriched.select("id"), on="id", how="left_anti")
+                )
+                lookup = enriched.unionByName(seen)
+            cand = (
+                lookup.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
+                .join(
+                    enriched.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig"),
+                    on="sig",
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+            )
+            drop = (
+                cand.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+                .filter(F.col("cos") >= self.threshold)
+                .select(F.col("id_b").alias("id"))
+                .distinct()
+            )
+            survivors = enriched.join(drop, on="id", how="left_anti")
+            target = os.path.join(self.data_dir, f"batch_id={batch_id}")
+            survivors.select(F.col("id").alias(self.id_col)).write.mode("overwrite").parquet(target)
+            # ALL batch rows enter the index (a dropped vector still
+            # drops later near-dups of it — batch drop-rule parity)
+            enriched.select("id", "v", "sig").write.mode("overwrite").parquet(
+                os.path.join(self.index_dir, f"batch_id={batch_id}")
+            )
+            from .sink import _atomic_write
+
+            _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})
+        finally:
+            enriched.unpersist()
+
+    def read(self, spark: SparkSession, latest_only: bool = True) -> DataFrame:
+        return super().read(spark, latest_only=False)

@@ -342,3 +342,69 @@ def test_streaming_corpus_clean_kill_restart(spark, tmp_path):
             "RocksDBStateStoreProvider"
         )
     )
+
+
+def test_streaming_embedding_dedup_kill_restart(spark, tmp_path):
+    """Embedding-modality streaming dedup: LSH-sig equi-join + cosine
+    verify per micro-batch against an append-only index, exactly-once.
+    Fed in vec_id order across three micro-batches with a kill-restart
+    (fresh deduper object) in the middle; result equals the batch drop
+    rule; replay and half-failure converge."""
+    from dataflows_spark.functions import similarity as sim
+    from dataflows_spark.streaming import StreamingEmbeddingDeduper
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    u = emb.unionByName(
+        emb.filter(F.col("vec_id") < 40).withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    # batch expected: drop id_b of every verified sig-equal pair
+    pairs = sim.lsh_neardup_pairs(u, "embedding", "vec_id", threshold=0.99, dim=64, bits=8)
+    dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    expected = sorted(r["vec_id"] for r in u.collect() if r["vec_id"] not in dropped)
+    assert len(expected) < u.count()  # the planted dups actually drop
+
+    in_dir, cp = str(tmp_path / "e_in"), str(tmp_path / "e_cp")
+    os.makedirs(in_dir)
+    out = str(tmp_path / "e_out")
+
+    def run(dd):
+        sdf = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            sdf.writeStream.outputMode("append")
+            .foreachBatch(dd)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    chunks = [
+        u.filter(F.col("vec_id") < 250),
+        u.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 100000)),
+        u.filter(F.col("vec_id") >= 100000),
+    ]
+    d1 = StreamingEmbeddingDeduper(out, threshold=0.99, dim=64, bits=8)
+    chunks[0].coalesce(1).write.mode("append").parquet(in_dir)
+    run(d1)
+    # kill; a FRESH object resumes from on-disk state + checkpoint
+    d2 = StreamingEmbeddingDeduper(out, threshold=0.99, dim=64, bits=8)
+    chunks[1].coalesce(1).write.mode("append").parquet(in_dir)
+    chunks[2].coalesce(1).write.mode("append").parquet(in_dir)
+    run(d2)
+
+    got = sorted(r["vec_id"] for r in d2.read(spark).collect())
+    assert got == expected
+
+    # replay of a committed batch is a no-op; half-failure converges
+    last = d2.committed_batches()[-1]
+    d2(chunks[2].coalesce(1), last)
+    assert sorted(r["vec_id"] for r in d2.read(spark).collect()) == expected
+    os.remove(d2._commit_marker(last))
+    d2(chunks[2].coalesce(1), last)
+    assert sorted(r["vec_id"] for r in d2.read(spark).collect()) == expected
