@@ -88,14 +88,21 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         num_bands: int = 2,
         ngram: int = 5,
         jaccard_threshold: float = 0.8,
+        hash_fn: str = "md5",
     ):
         super().__init__(path)
+        from ..functions.dedup import _check_banding
+
+        _check_banding(num_hashes, num_bands)
         self.id_col = id_col
         self.text_col = text_col
         self.num_hashes = num_hashes
         self.num_bands = num_bands
         self.ngram = ngram
         self.jaccard_threshold = jaccard_threshold
+        #: 'md5' (default) = DuckDB-oracle-reproducible; 'xxhash64' /
+        #: 'arrow' = the production fast paths (see functions.dedup)
+        self.hash_fn = hash_fn
         #: every exact-deduped doc ever seen — near-dup drops compare
         #: against ALL of them (batch parity: a doc dropped as a
         #: near-dup still drops later docs similar to it), not just
@@ -117,12 +124,20 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
+        from ..functions.dedup import arrow_minhash_udf
+
         g = char_ngrams(F.col(self.text_col), self.ngram)
-        ghash = F.transform(
-            F.col("__grams"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-        )
-        sig = minhash_sig_expr(F.col("__grams"), self.num_hashes)
+        if self.hash_fn in ("xxhash64", "arrow"):
+            ghash = F.transform(F.col("__grams"), lambda s: F.xxhash64(s))
+        else:
+            ghash = F.transform(
+                F.col("__grams"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            )
+        if self.hash_fn == "arrow":
+            sig = arrow_minhash_udf(self.num_hashes, self.ngram)(F.col("text"))
+        else:
+            sig = minhash_sig_expr(F.col("__grams"), self.num_hashes, self.hash_fn)
         rows_per_band = self.num_hashes // self.num_bands
         return (
             batch.select(

@@ -408,3 +408,37 @@ def test_streaming_embedding_dedup_kill_restart(spark, tmp_path):
     os.remove(d2._commit_marker(last))
     d2(chunks[2].coalesce(1), last)
     assert sorted(r["vec_id"] for r in d2.read(spark).collect()) == expected
+
+
+def test_streaming_corpus_clean_fast_hash_variant(spark, tmp_path):
+    """The streaming cleaner's production hash paths (hash_fn='arrow')
+    keep exact-dup semantics: planted exact duplicates are dropped
+    across micro-batches just like the oracle-parity md5 path."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner, curation_filter
+
+    import __spark_entry__ as entry
+
+    docs = entry._docs_with_dups(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    in_dir, cp = str(tmp_path / "f_in"), str(tmp_path / "f_cp")
+    os.makedirs(in_dir)
+    docs.filter(F.col("doc_id") < 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    docs.filter(F.col("doc_id") >= 100000).coalesce(1).write.mode("append").parquet(in_dir)
+    cleaner = StreamingCorpusCleaner(str(tmp_path / "f_out"), hash_fn="arrow")
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        curation_filter(sdf)
+        .writeStream.outputMode("append")
+        .foreachBatch(cleaner)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = {r["doc_id"] for r in cleaner.read(spark).collect()}
+    # every surviving id is an original (exact copies arrived later and
+    # must have been dropped against the cross-batch index)
+    assert ids and all(i < 100000 for i in ids)
