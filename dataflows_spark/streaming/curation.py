@@ -19,8 +19,12 @@ execution model:
   band-exploded and equi-joined on (band, band_hash) against both the
   batch itself and the persisted band index (LSH tier), (3)
   exact-Jaccard verified on md5-int64 gram hashes, and dropped on a
-  verified match. Per-batch cost is O(batch ⋈ matching buckets), not
-  O(corpus).
+  verified match. Per-batch WRITE cost is O(batch) (append-only index)
+  and the join work is O(batch ⋈ matching buckets); the index scan
+  feeding the join is O(corpus) in this parquet layout — at 100× the
+  index lives in an Iceberg table bucketed by (band, band_hash) so the
+  equi-join prunes to the touched buckets (the same pruning shape as
+  ``similarity.write_ivf_bucketed``, plan-tested there).
 - **Exactly-once**: survivors land in per-batch parquet dirs committed
   by atomic markers (:class:`ExactlyOnceParquetSink` protocol); the
   index is APPEND-ONLY per-batch parquet (batch ids are fresh by
