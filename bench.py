@@ -374,6 +374,13 @@ def run_sf1_tier() -> dict:
             docs, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5, materialize=True
         ).count(),
     )
+    timed(
+        "minhash_lsh_pairs_arrow",
+        lambda: ddp.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5,
+            materialize=True, hash_fn="arrow",
+        ).count(),
+    )
     # construct INSIDE the lambda: the materialized default runs its
     # eager enrichment checkpoint at construction time, which must be
     # part of the measurement
