@@ -504,7 +504,7 @@ def main() -> None:
     r8 = run_chain_subprocess(8, 3)
     r2 = run_chain_subprocess(2, 2)
     thr = {r["cores"]: r["clips"] / r["sec"] for r in (r2, r8, r32)}
-    def best_stream(cores: int, runs: int = 2) -> dict:
+    def best_stream(cores: int, runs: int = 3) -> dict:
         # best-of-K, same policy as the batch chain: host steal time
         # makes single readings swing (observed 7→38 s steady at the
         # same cores); keep the least-contended run
