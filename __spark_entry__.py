@@ -416,7 +416,7 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf, "documents"))
-    sig = ddp.with_minhash(docs, "text", "doc_id", num_hashes=4, ngram=3)
+    sig = ddp.with_minhash(docs, "text", "doc_id", num_hashes=4, ngram=3, hash_fn="md5")
     return sig.select(
         F.col("id").alias("doc_id"),
         F.element_at("sig", 1).alias("h0"),
@@ -428,12 +428,13 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return ddp.minhash_lsh_candidates(
-        _docs_with_dups(spark, sf), "text", "doc_id", num_hashes=4, num_bands=2, ngram=3
+        _docs_with_dups(spark, sf), "text", "doc_id", num_hashes=4, num_bands=2, ngram=3,
+        hash_fn="md5",  # the oracle mirrors the md5 banding bit-for-bit
     )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return ddp.jaccard_pairs(_docs_with_dups(spark, sf), "text", "doc_id", threshold=0.9, ngram=3)\
+    return ddp.jaccard_pairs(_docs_with_dups(spark, sf), "text", "doc_id", threshold=0.9, ngram=3, hash_fn="md5")\
         .withColumn("jaccard", F.floor(F.col("jaccard") * 1000).cast("long"))
 
 
@@ -755,7 +756,7 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     # with candidates (measured: the verify join exploded at sf0.1);
     # 5-grams collapse cross-doc similarity while exact dups still
     # collide in every band
-    pairs = ddp.minhash_lsh_candidates(deduped, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5)
+    pairs = ddp.minhash_lsh_candidates(deduped, "text", "doc_id", num_hashes=4, num_bands=2, ngram=5, hash_fn="md5")
     # verify on md5-derived int64 gram hashes: string-array
     # intersect/union dominated the whole pipeline (measured ~21s of 27s
     # at sf0.1); int64 set ops cut it ~4×, Jaccard value unchanged
@@ -862,7 +863,7 @@ def q_corpus_clean_stream(spark: SparkSession, sf: str) -> DataFrame:
     # (doc_id ≥ 100000) — these must dedup against chunk 1's state
     docs.filter(F.col("doc_id") < 100000).coalesce(1).write.mode("append").parquet(in_dir)
     docs.filter(F.col("doc_id") >= 100000).coalesce(1).write.mode("append").parquet(in_dir)
-    cleaner = StreamingCorpusCleaner(os.path.join(tmp, "curated"))
+    cleaner = StreamingCorpusCleaner(os.path.join(tmp, "curated"), hash_fn="md5")
     sdf = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", "1")

@@ -123,10 +123,15 @@ def minhash_sig_expr(grams_col: Column, num_hashes: int, hash_fn: str = "md5") -
     return F.array(*[minhash_hash(grams_col, i) for i in range(num_hashes)])
 
 
-def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = "md5") -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
     the whole signature computation in one task.
+
+    ``hash_fn='xxhash64'`` (default) is the codegen'd JVM fast path;
+    pass ``'md5'`` when a DuckDB oracle must mirror the signature
+    values bit-for-bit (the gates do), or use
+    :func:`with_minhash_arrow` for the vectorized-numpy kernel.
 
     For ``num_hashes ≤ 4`` the signature is ONE fold over the grams:
     each gram md5-hashed once, the digest sliced into independent
@@ -346,7 +351,7 @@ def jaccard_pairs(
     num_bands: int = 2,
     sig_ngram: int = 5,
     materialize: bool = True,
-    hash_fn: str = "md5",
+    hash_fn: str = "arrow",
 ) -> DataFrame:
     """n-gram-Jaccard near-dup pairs with MinHash-band blocking
     (the corpus_clean shape): candidates come from an equi-self-join on
@@ -360,12 +365,28 @@ def jaccard_pairs(
     the candidate count by actual content similarity: a pair collides
     only if a full band of min-hashes agrees (P ≈ 1-(1-s^r)^b), so
     uniform-length corpora no longer degenerate. The length filter
-    stays as a free secondary prune on the joined rows. The result is
-    the standard banded-LSH approximation — exact duplicates collide
-    in every band; pairs at θ≈0.8-0.9 are found with
-    1-(1-s²)² ≈ 0.87-0.96 probability per pair (raise
-    ``num_hashes``/``num_bands`` for higher recall). The
-    DuckDB oracle mirrors the banding bit-for-bit.
+    stays as a free secondary prune on the joined rows.
+
+    RECALL BOUND (round-3 advisor): the result is the standard
+    banded-LSH approximation, NOT exhaustive — exact duplicates
+    collide in every band, but a true near-dup pair at similarity s is
+    found only with probability 1-(1-s^r)^b (r = num_hashes/num_bands
+    rows per band, b = num_bands). At the defaults (4 hashes / 2
+    bands, r=2) per-pair recall at θ=0.8 is 1-(1-0.64)² ≈ 0.87 —
+    ~13% of borderline near-dups survive into downstream
+    ``dedup_by_clusters``. Tune the banding to your threshold when
+    recall matters: num_hashes=8/num_bands=4 keeps recall ≈ 0.98 at
+    θ=0.8 for ~2× signature cost; callers needing guarantees should
+    verify recall on planted duplicates.
+
+    HASH PATHS: ``hash_fn='arrow'`` (default) is the vectorized-numpy
+    production kernel — ~3.5× faster end-to-end than md5 at 120k docs
+    (10.7s vs 38.0s measured); ``'xxhash64'`` is the pure-JVM codegen
+    path; ``'md5'`` exists for cross-engine reproducibility (the
+    DuckDB oracle gates pass it explicitly and mirror the banding
+    bit-for-bit). All three share identical banding/verify semantics —
+    only the hash family (and thus the exact candidate set of the
+    probabilistic tier) differs.
 
     SIG GRAMS: the signature uses ``sig_ngram``-grams (default 5) —
     3-gram min-hashes flood the banding on shared-vocabulary corpora
@@ -463,7 +484,7 @@ def minhash_lsh_candidates(
     num_bands: int = 4,
     ngram: int = 3,
     materialize: bool = False,
-    hash_fn: str = "md5",
+    hash_fn: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: explode band
     hashes, self-equi-join on (band, band_hash) — shuffle-join on a
@@ -472,7 +493,15 @@ def minhash_lsh_candidates(
     ``materialize=True`` checkpoints the (narrow) banded table so the
     gram+minhash work runs once instead of once per self-join side
     (eager; measured ~2× at 120k docs) — the persisted-signature-table
-    shape a production pipeline uses."""
+    shape a production pipeline uses.
+
+    RECALL: banded-LSH candidate recall for a pair at similarity s is
+    1-(1-s^r)^b (r = num_hashes/num_bands, b = num_bands) — exact dups
+    always collide; tune banding to your downstream threshold (see
+    :func:`jaccard_pairs` for the numbers). ``hash_fn='arrow'``
+    (default) is the fast vectorized kernel (5.0s vs 33.3s md5 at 120k
+    docs measured); ``'md5'`` is the DuckDB-oracle-reproducible path
+    the gates pass explicitly."""
     _check_banding(num_hashes, num_bands)
     rows_per_band = num_hashes // num_bands
     if hash_fn == "arrow":
@@ -644,7 +673,14 @@ def _cc_star(
 
 def dedup_by_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep ONE row per near-dup cluster (the min-id representative):
-    the transitive completion of pairwise near-dup detection."""
+    the transitive completion of pairwise near-dup detection.
+
+    The result is only as complete as the ``pairs`` input: pairs from
+    the banded-LSH tier (:func:`jaccard_pairs`,
+    :func:`minhash_lsh_candidates`) are probabilistic — per-pair recall
+    1-(1-s^r)^b — so borderline near-dups missed by the banding stay
+    in the output. Tune the upstream banding to the target threshold
+    (see the recall table in :func:`jaccard_pairs`)."""
     cc = connected_components(pairs, nodes=df.select(F.col(id_col).alias("id")))
     keep = cc.filter(F.col("id") == F.col("cluster")).select(F.col("id").alias(id_col))
     return df.join(keep, on=id_col, how="inner")

@@ -268,10 +268,22 @@ def lsh_neardup_pairs(
     dim: int | None = None,
     bits: int = 8,
     seed: int = 42,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs, scale path: candidates come from an
     equi-self-join on the hyperplane LSH bucket (high-cosine pairs share
     all/most sign bits), then exact cosine verifies. No cross product.
+
+    SHUFFLE SHAPE (round-3 review #4): the bucket self-join exchanges
+    NARROW (id, sig) rows only — at billion-vector scale carrying the
+    full vectors through both sides of the self-join shuffle multiplies
+    exchange volume by the vector width. Vectors re-attach by id
+    AFTER the candidate distinct, for the cosine verify only — the same
+    narrow-candidates discipline ``jaccard_pairs`` applies to gram
+    arrays. ``materialize=True`` checkpoints the (narrow) signature
+    table so the signature expressions run once instead of once per
+    self-join side — the persisted-signature-table shape of a
+    production pipeline.
 
     Pass ``dim`` explicitly on the scale path — the fallback infers it
     with a one-row driver action."""
@@ -279,12 +291,17 @@ def lsh_neardup_pairs(
         first = df.select(vec_col).head()
         dim = len(first[0]) if first else 0
     sig = lsh_signature(vec_col, dim, bits, seed)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), sig.alias("sig"))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sig").alias("sig_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("sig_b"))
-    cand = a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+    keyed = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    if materialize:
+        keyed = keyed.localCheckpoint(eager=True)
+    a = keyed.select(F.col("id").alias("id_a"), "sig")
+    b = keyed.select(F.col("id").alias("id_b"), "sig")
+    cand = a.join(b, on="sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     return (
-        cand.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b")
+        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

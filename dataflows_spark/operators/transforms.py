@@ -176,8 +176,19 @@ def _cast_with_on_error(df, col: str, dtype: str, on_error: str | None, parse_ex
             )
 
         bare_json_ok = dtype in ("number", "integer", "boolean")
+        # number/integer/boolean stringify to bare JSON scalars, so
+        # try_parse_json keeps them TYPED in the variant. Non-finite
+        # doubles are the exception: 'Infinity'/'NaN' cast successfully
+        # to double but stringify to invalid bare JSON, so the parse
+        # yields null — fall back to the struct-wrapped string variant
+        # (the original value, kept in place — round-3 advisor: the
+        # pre-fix code silently LOST the value, worse than a failed
+        # cast, which preserved the string)
         ok_variant = (
-            F.try_parse_json(casted.cast("string"))
+            F.coalesce(
+                F.try_parse_json(casted.cast("string")),
+                as_variant(F.col(col).cast("string")),
+            )
             if bare_json_ok
             else as_variant(casted.cast("string"))
         )

@@ -221,6 +221,21 @@ def test_set_type_ignore_true_mixed_types(spark):
     got = sorted(r["b"].toPython() for r in res2[0])
     assert got == sorted(tricky)
 
+    # non-finite doubles (round-3 advisor): 'Infinity'/'NaN' CAST
+    # successfully to double but stringify to invalid bare JSON — the
+    # pre-fix path silently LOST them; they must survive (as the
+    # original string, same contract as a failed cast) while finite
+    # numbers stay typed
+    data3 = [{"b": "Infinity"}, {"b": "NaN"}, {"b": "-Infinity"}, {"b": "2.5"}, {"b": "zz"}]
+    res3, _, _ = Flow(data3, set_type("b", type="number", on_error="ignore")).results(spark)
+    vals = {str(r["b"].toPython()) for r in res3[0] if r["b"] is not None}
+    assert "Infinity" in vals and "NaN" in vals and "-Infinity" in vals
+    import decimal
+
+    typed = [r["b"].toPython() for r in res3[0] if r["b"] is not None and str(r["b"].toPython()) == "2.5"]
+    assert typed and isinstance(typed[0], (float, decimal.Decimal))  # numeric, not string
+    assert "zz" in vals  # plain failures still keep the original
+
 
 def test_validate_raise_actually_raises(spark):
     """A Column-predicate validate with default on_error='raise' must

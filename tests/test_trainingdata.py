@@ -460,7 +460,7 @@ def test_jaccard_pairs_xxhash64_fast_path(spark):
 
     md5_pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ddp.jaccard_pairs(df, "text", "doc_id", threshold=0.9).collect()
+        for r in ddp.jaccard_pairs(df, "text", "doc_id", threshold=0.9, hash_fn="md5").collect()
     }
     xx_pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
