@@ -681,6 +681,25 @@ def q_extract_missing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_load_ods(spark: SparkSession, sf: str) -> DataFrame:
+    """The ODS (OpenDocument spreadsheet) load path end-to-end: the
+    nation table is exported to a real .ods (stdlib writer), loaded
+    back through ``load`` (stdlib zip+XML parser, typed columns —
+    reference tabulator .ods support, cli.py:12), and must match the
+    parquet source row-exactly. Driver-side interchange format by
+    construction (documented in sources/ods.py)."""
+    import tempfile
+
+    from dataflows_spark.sources.ods import write_ods
+
+    src = spark.read.parquet(_t(sf, "nation")).select("n_nationkey", "n_name", "n_regionkey")
+    rows = [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in src.collect()]
+    path = os.path.join(tempfile.mkdtemp(prefix="dfs_ods_gate_"), "nation.ods")
+    write_ods(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
+    pkg = Flow(load(path, name="nation")).dataframes(spark)
+    return pkg["nation"]
+
+
 def q_validate_recast(spark: SparkSession, sf: str) -> DataFrame:
     """validate() with NO args = re-cast all fields against the declared
     schema (reference validate.py:8-61 via schema_validator); failing
@@ -936,6 +955,7 @@ _QUERIES = {
         "first_last_ordered": q_first_last_ordered,
         "array_agg_ordered": q_array_agg_ordered,
         "extract_missing": q_extract_missing,
+        "load_ods": q_load_ods,
         "validate_recast": q_validate_recast,
         "set_type_drop": q_set_type_drop,
         "set_type_clear": q_set_type_clear,
@@ -1158,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "n_regionkey AS nation_regionkey, 'tpch' AS source FROM nation"
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
+    sql["load_ods"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sql["extract_missing"] = (
         "SELECT c_custkey, "
         "CASE WHEN c_name = 'Customer#000000001' THEN NULL ELSE c_name END AS c_name, "

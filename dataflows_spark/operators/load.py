@@ -43,9 +43,34 @@ _EXT_FORMAT = {
     ".orc": "orc",
     ".txt": "text",
     ".xlsx": "xlsx",
+    ".ods": "ods",
     ".xml": "xml",
     ".geojson": "geojson",
 }
+
+
+def _gsheet_export_url(url: str, force: bool = False) -> str | None:
+    """Rewrite a Google-Sheets UI URL to its CSV export endpoint — the
+    reference loads ``gsheet`` sources transparently via tabulator
+    (reference ``cli.py:12`` format list); here the rewrite feeds the
+    existing http(s) fetch shim. Returns None for non-sheet URLs unless
+    ``force`` (``format='gsheet'``), which applies the path rewrite on
+    any host (how the offline fixture-server test exercises it)."""
+    import re
+
+    if not (force or "docs.google.com/spreadsheets" in url):
+        return None
+    if re.search(r"/export\b", url):
+        return url  # already an export endpoint
+    m = re.search(r"/spreadsheets/(?:u/\d+/)?d/(?:e/)?([^/?#]+)", url)
+    if not m:
+        return None
+    base = url[: url.index("/spreadsheets/")]
+    gid = re.search(r"[#?&]gid=(\d+)", url)
+    out = f"{base}/spreadsheets/d/{m.group(1)}/export?format=csv"
+    if gid:
+        out += f"&gid={gid.group(1)}"
+    return out
 
 
 def _infer_format(source: str, explicit: str | None) -> str:
@@ -88,9 +113,11 @@ def _fetch_to_temp(url: str, format_hint: str | None = None) -> str:
 class load(Stage):
     """Load a table as a new resource.
 
-    ``source`` is a path (csv/json/parquet/orc/xlsx by extension), an
-    ``http(s)://`` URL (fetched to a temp file — reference tabulator
-    remote-source support), a ``table://name`` catalog reference, a
+    ``source`` is a path (csv/json/parquet/orc/xlsx/ods by extension),
+    an ``http(s)://`` URL (fetched to a temp file — reference tabulator
+    remote-source support; Google-Sheets UI URLs rewrite onto the CSV
+    export endpoint, ``format='gsheet'`` forces the rewrite for
+    non-google hosts), a ``table://name`` catalog reference, a
     ``jdbc://`` URL with ``query=``/``dbtable=`` options, or a
     ``datapackage.json`` manifest (as written by ``dump_to_path``)
     which loads its named resources with their saved metadata —
@@ -157,6 +184,10 @@ class load(Stage):
             from ..sources.xlsx import xlsx_to_dataframe
 
             return xlsx_to_dataframe(ctx.spark, source, self.sheet)
+        if fmt == "ods":
+            from ..sources.ods import ods_to_dataframe
+
+            return ods_to_dataframe(ctx.spark, source, self.sheet)
         if fmt == "xml":
             return self._read_xml(ctx, source)
         if fmt == "geojson":
@@ -247,6 +278,11 @@ class load(Stage):
         if src.startswith("env://"):
             src = os.environ[src[6:]]
         if src.startswith(("http://", "https://")):
+            gs = _gsheet_export_url(src, force=self.format == "gsheet")
+            if gs is not None:
+                src = gs
+                if self.format in (None, "gsheet"):
+                    self.format = "csv"  # the export endpoint serves CSV
             # a bare remote datapackage.json can't work: its resource
             # paths are directories relative to the manifest, which live
             # on the remote server — ship packages as dump_to_zip

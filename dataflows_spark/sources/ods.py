@@ -1,0 +1,163 @@
+"""Minimal ODS (OpenDocument Spreadsheet) reader/writer on the Python
+stdlib (zipfile + ElementTree).
+
+Parity target: the reference loads ``.ods`` transparently via
+tabulator's ezodf-backed parser (reference ``cli.py:12`` format list;
+loader dispatch ``processors/load.py:40-137``). This container has no
+ods library, and an .ods is just a zip holding ``content.xml``, so the
+reader parses the OpenDocument table model directly:
+``office:spreadsheet`` → ``table:table`` (sheet registry) →
+``table:table-row`` / ``table:table-cell`` with
+``office:value-type``-typed values and the ODF repeat-count
+compression (``number-rows-repeated`` / ``number-columns-repeated``)
+expanded.
+
+SCALE NOTE: like xlsx, ods is a driver-side interchange format by
+construction — the zip container is not splittable and real sheets are
+≤1M rows. The reader materializes rows on the driver and hands Spark a
+parallelized DataFrame; anything bigger belongs in csv/parquet.
+"""
+
+from __future__ import annotations
+
+import zipfile
+import xml.etree.ElementTree as ET
+
+_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+# a guard against the ODF repeat-count compression: trailing filler
+# rows/columns carry huge repeat counts (whole-sheet defaults) that
+# must not expand into memory
+_MAX_REPEAT = 10_000
+
+
+def _cell_value(cell):
+    vt = cell.get(f"{_OFFICE}value-type")
+    if vt is None:
+        # covered (merged) or empty cell
+        text = "".join("".join(p.itertext()) for p in cell.findall(f"{_TEXT}p"))
+        return text or None
+    if vt == "boolean":
+        return cell.get(f"{_OFFICE}boolean-value") == "true"
+    if vt in ("float", "percentage", "currency"):
+        f = float(cell.get(f"{_OFFICE}value"))
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f
+    if vt == "date":
+        return cell.get(f"{_OFFICE}date-value")
+    # 'string' and anything else: the rendered text content
+    return "".join("".join(p.itertext()) for p in cell.findall(f"{_TEXT}p")) or None
+
+
+def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
+    """Parse one sheet → (header, data rows). ``sheet`` is a 1-based
+    index or a sheet name; first row is the header (reference tabulator
+    default ``headers=1``)."""
+    with zipfile.ZipFile(path) as zf:
+        content = ET.fromstring(zf.read("content.xml"))
+    tables = list(content.iter(f"{_TABLE}table"))
+    if not tables:
+        return [], []
+    if isinstance(sheet, str):
+        by_name = {t.get(f"{_TABLE}name"): t for t in tables}
+        table = by_name[sheet]
+    else:
+        table = tables[sheet - 1]
+    rows: list[list] = []
+    for row in table.iter(f"{_TABLE}table-row"):
+        out: list = []
+        for cell in row:
+            if cell.tag not in (f"{_TABLE}table-cell", f"{_TABLE}covered-table-cell"):
+                continue
+            v = _cell_value(cell)
+            rep = min(int(cell.get(f"{_TABLE}number-columns-repeated", 1)), _MAX_REPEAT)
+            # trailing filler: a repeated EMPTY cell at row end is the
+            # ODF way of padding to the sheet width — keep one, not 10k
+            out.extend([v] * (rep if v is not None else 1))
+        while out and out[-1] is None:
+            out.pop()
+        rrep = min(int(row.get(f"{_TABLE}number-rows-repeated", 1)), _MAX_REPEAT)
+        rows.extend([list(out)] * (1 if not out else rrep))
+    while rows and not rows[-1]:
+        rows.pop()
+    if not rows:
+        return [], []
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    return header, rows[1:]
+
+
+def write_ods(path: str, header: list[str], rows: list[list], sheet_name: str = "Sheet1") -> None:
+    """Write a minimal standards-compliant .ods (fixture/export helper)."""
+
+    def esc(s: str) -> str:
+        return (
+            str(s)
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+        )
+
+    def cell_xml(v) -> str:
+        if v is None:
+            return "<table:table-cell/>"
+        if isinstance(v, bool):
+            b = "true" if v else "false"
+            return (
+                f'<table:table-cell office:value-type="boolean" office:boolean-value="{b}">'
+                f"<text:p>{b}</text:p></table:table-cell>"
+            )
+        if isinstance(v, (int, float)):
+            return (
+                f'<table:table-cell office:value-type="float" office:value="{v}">'
+                f"<text:p>{v}</text:p></table:table-cell>"
+            )
+        return (
+            '<table:table-cell office:value-type="string">'
+            f"<text:p>{esc(v)}</text:p></table:table-cell>"
+        )
+
+    body_rows = "".join(
+        "<table:table-row>" + "".join(cell_xml(v) for v in r) + "</table:table-row>"
+        for r in [header] + rows
+    )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'office:version="1.2"><office:body><office:spreadsheet>'
+        f'<table:table table:name="{esc(sheet_name)}">{body_rows}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" '
+        'manifest:version="1.2">'
+        '<manifest:file-entry manifest:full-path="/" '
+        'manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        # the mimetype member must be first and STORED per the ODF spec
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"),
+            "application/vnd.oasis.opendocument.spreadsheet",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr("content.xml", content)
+        zf.writestr("META-INF/manifest.xml", manifest)
+
+
+def ods_to_dataframe(spark, path: str, sheet: int | str = 1):
+    """read_ods → typed Spark DataFrame via the same per-column type
+    resolution as the xlsx reader."""
+    from .xlsx import _typed_dataframe
+
+    header, rows = read_ods(path, sheet)
+    return _typed_dataframe(spark, header, rows)

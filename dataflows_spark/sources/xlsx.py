@@ -179,6 +179,12 @@ def xlsx_to_dataframe(spark, path: str, sheet: int | str = 1):
     """read_xlsx → typed Spark DataFrame: per-column type resolution
     (bool → boolean, all-int → bigint, numeric → double, else string)."""
     header, rows = read_xlsx(path, sheet)
+    return _typed_dataframe(spark, header, rows)
+
+
+def _typed_dataframe(spark, header: list[str], rows: list[list]):
+    """Driver-side (header, rows) → typed Spark DataFrame — shared by
+    the xlsx and ods readers."""
     n = len(header)
 
     def col_type(i: int) -> str:

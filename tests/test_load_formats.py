@@ -257,3 +257,82 @@ def test_load_remote_url(spark, tmp_path):
             Flow(load(f"http://127.0.0.1:{port}/datapackage.json")).dataframes(spark)
     finally:
         srv.shutdown()
+
+
+def test_ods_roundtrip_types(spark, tmp_path):
+    """ODS (OpenDocument) load path: stdlib zip+XML parser, typed
+    columns, repeat-count expansion — reference tabulator loads .ods
+    transparently (cli.py:12 format list)."""
+    from dataflows_spark.sources.ods import read_ods, write_ods
+
+    path = str(tmp_path / "t.ods")
+    write_ods(
+        path,
+        ["name", "n", "ratio", "flag"],
+        [["alpha", 1, 1.5, True], ["beta & <co>", 2, 2.25, False], [None, 3, 3.5, True]],
+    )
+    header, rows = read_ods(path)
+    assert header == ["name", "n", "ratio", "flag"]
+    assert rows[1][0] == "beta & <co>"  # XML escaping round-trips
+    assert rows[0][1] == 1 and isinstance(rows[0][1], int)
+    assert rows[2][2] == 3.5
+
+    pkg = Flow(load(path, name="t")).dataframes(spark)
+    df = pkg["t"]
+    assert dict(df.dtypes)["n"] == "bigint" and dict(df.dtypes)["ratio"] == "double"
+    assert dict(df.dtypes)["flag"] == "boolean"
+    assert df.count() == 3
+
+
+def test_ods_sheet_by_name_and_repeats(tmp_path):
+    from dataflows_spark.sources.ods import read_ods, write_ods
+
+    path = str(tmp_path / "s.ods")
+    write_ods(path, ["a"], [[1], [2]], sheet_name="data")
+    header, rows = read_ods(path, sheet="data")
+    assert header == ["a"] and [r[0] for r in rows] == [1, 2]
+
+
+def test_gsheet_url_rewrite():
+    """Google-Sheets UI URLs rewrite onto the CSV export endpoint the
+    http shim fetches (reference gsheet support via tabulator)."""
+    from dataflows_spark.operators.load import _gsheet_export_url as gs
+
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/KEY123/edit#gid=77")
+        == "https://docs.google.com/spreadsheets/d/KEY123/export?format=csv&gid=77"
+    )
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/KEY123/edit?usp=sharing")
+        == "https://docs.google.com/spreadsheets/d/KEY123/export?format=csv"
+    )
+    # already an export endpoint → untouched
+    u = "https://docs.google.com/spreadsheets/d/K/export?format=csv"
+    assert gs(u) == u
+    # non-sheet URLs pass through (no rewrite) unless forced
+    assert gs("https://example.com/data.csv") is None
+    assert gs("http://h/spreadsheets/d/K/edit", force=True) == "http://h/spreadsheets/d/K/export?format=csv"
+
+
+def test_gsheet_load_via_fixture_server(spark, tmp_path):
+    """format='gsheet' end-to-end: the UI-style URL is rewritten to the
+    export endpoint and fetched through the http shim (local fixture
+    server stands in for docs.google.com — no network)."""
+    import functools
+    import http.server
+    import threading
+
+    root = tmp_path / "gs"
+    (root / "spreadsheets" / "d" / "KEY9").mkdir(parents=True)
+    (root / "spreadsheets" / "d" / "KEY9" / "export").write_text("a,b\n1,x\n2,y\n")
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=str(root))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        pkg = Flow(
+            load(f"http://127.0.0.1:{port}/spreadsheets/d/KEY9/edit#gid=0", name="g", format="gsheet")
+        ).dataframes(spark)
+        assert sorted((r["a"], r["b"]) for r in pkg["g"].collect()) == [(1, "x"), (2, "y")]
+    finally:
+        srv.shutdown()
