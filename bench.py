@@ -600,7 +600,10 @@ def compare_block(result: dict, baseline_path: str) -> dict:
     a review trigger, not an automatic failure."""
     with open(baseline_path) as fh:
         prev = json.load(fh)
-    prev = prev.get("parsed", prev)  # driver-recorded BENCH_r{N}.json wraps the line
+    # driver-recorded BENCH_r{N}.json wraps the line under "parsed" —
+    # which is NULL when the stdout tail overflowed (BENCH_r03); treat
+    # that as an empty baseline rather than crashing post-measurement
+    prev = prev.get("parsed") or prev if isinstance(prev, dict) else {}
     pq = prev.get("queries", {})
     ratios = {}
     regressions = []
@@ -730,18 +733,34 @@ def main() -> None:
             "note": "each level runs CPU-pinned (taskset) in its own process; see BENCH/BASELINE.md",
         },
     }
-    if compare_to is None and os.path.exists(os.path.join(REPO, "BENCH_r01.json")):
-        # default: diff against the most recent recorded round
-        rounds = sorted(f for f in os.listdir(REPO) if f.startswith("BENCH_r") and f.endswith(".json"))
-        compare_to = os.path.join(REPO, rounds[-1])
-    if compare_to:
-        result["compare"] = compare_block(result, compare_to)
     # the driver captures a bounded stdout tail — as the bench grew the
     # final JSON outgrew it (BENCH_r03 'parsed: null'); persist the full
-    # object to a file as well so the artifact stays machine-readable
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
+    # object to a file BEFORE anything else can fail so 70 minutes of
+    # measurement never dies to a reporting glitch
+    def persist():
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+
+    persist()
+    if compare_to is None:
+        # default: diff against the most recent round whose artifact is
+        # machine-parseable (r03's parsed was null — tail overflow)
+        for f in sorted(
+            (f for f in os.listdir(REPO) if f.startswith("BENCH_r") and f.endswith(".json")),
+            reverse=True,
+        ):
+            with open(os.path.join(REPO, f)) as fh:
+                rec = json.load(fh)
+            if rec.get("parsed") or rec.get("queries"):
+                compare_to = os.path.join(REPO, f)
+                break
+    if compare_to:
+        try:
+            result["compare"] = compare_block(result, compare_to)
+        except Exception as e:  # a broken baseline must not lose the run
+            result["compare"] = {"error": f"{type(e).__name__}: {e}", "baseline": compare_to}
+        persist()
     print(json.dumps(result))
 
 

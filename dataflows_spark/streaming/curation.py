@@ -24,7 +24,8 @@ execution model:
   is THREE key-partitioned parquet tables — seen fingerprints
   partitioned by ``fpb = pmod(xxhash64(fp), num_buckets)``, exploded
   band hashes by ``bb = pmod(xxhash64(band_hash), num_buckets)``,
-  verification grams by ``gb = pmod(xxhash64(doc_id), num_buckets)``
+  raw doc texts by ``db = pmod(xxhash64(doc_id), num_buckets)``
+  (verify grams hash lazily, candidate-only — never stored)
   — and every per-batch read is PRUNED to the partitions whose keys
   the current batch can actually touch (collected driver-side, ≤
   ``num_buckets`` values — shows up as ``PartitionFilters`` in the
@@ -193,35 +194,52 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         index_root = os.path.join(path, "state", "index")
         self._fps = _BucketedIndex(os.path.join(index_root, "fps"), "fpb", num_buckets)
         self._bands = _BucketedIndex(os.path.join(index_root, "bands"), "bb", num_buckets)
-        self._grams = _BucketedIndex(os.path.join(index_root, "grams"), "gb", num_buckets)
+        # (doc_id, text) — raw text, NOT gram arrays: grams are ~8× the
+        # text size and only candidate-pair docs ever need them (they
+        # hash lazily at verify time, bounded by the candidate count)
+        self._docs = _BucketedIndex(os.path.join(index_root, "docs"), "db", num_buckets)
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, text, fp, bands) — deliberately WITHOUT verify-gram
+        arrays: Catalyst gram generation is ~95% of the signature-path
+        cost, and only the docs that land in a candidate pair ever need
+        grams (the :func:`~dataflows_spark.functions.dedup.
+        jaccard_pairs` candidate-only discipline; grams attach later
+        via :meth:`_gram_lut`)."""
         from ..functions.dedup import arrow_minhash_udf
 
-        g = char_ngrams(F.col(self.text_col), self.ngram)
-        if self.hash_fn in ("xxhash64", "arrow"):
-            ghash = F.transform(F.col("__grams"), lambda s: F.xxhash64(s))
-        else:
-            ghash = F.transform(
-                F.col("__grams"),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-            )
         if self.hash_fn == "arrow":
             sig = arrow_minhash_udf(self.num_hashes, self.ngram)(F.col("text"))
         else:
-            sig = minhash_sig_expr(F.col("__grams"), self.num_hashes, self.hash_fn)
-        rows_per_band = self.num_hashes // self.num_bands
-        return (
-            batch.select(
-                F.col(self.id_col).alias("doc_id"),
-                F.col(self.text_col).alias("text"),
-                txt.fingerprint_md5(self.text_col).alias("fp"),
-                g.alias("__grams"),
+            sig = minhash_sig_expr(
+                char_ngrams(F.col(self.text_col), self.ngram), self.num_hashes, self.hash_fn
             )
-            .withColumn("grams", ghash)
-            .withColumn("bands", minhash_bands(sig, self.num_bands, rows_per_band))
-            .drop("__grams")
+        rows_per_band = self.num_hashes // self.num_bands
+        return batch.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+            txt.fingerprint_md5(self.text_col).alias("fp"),
+            minhash_bands(sig, self.num_bands, rows_per_band).alias("bands"),
+        )
+
+    def _ghash(self, text_col) -> Column:
+        """int64-hashed verify grams of a text column (md5 when the
+        DuckDB oracle must mirror values, xxhash64 otherwise)."""
+        g = char_ngrams(text_col, self.ngram)
+        if self.hash_fn in ("xxhash64", "arrow"):
+            return F.transform(g, lambda s: F.xxhash64(s))
+        return F.transform(
+            g, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        )
+
+    def _gram_lut(self, docs: DataFrame, ids: DataFrame) -> DataFrame:
+        """(doc_id, grams) for ONLY the ids present in candidate pairs —
+        gram generation cost is O(candidates), not O(batch)/O(corpus)."""
+        return (
+            docs.select("doc_id", "text")
+            .join(ids.distinct(), on="doc_id", how="left_semi")
+            .select("doc_id", self._ghash(F.col("text")).alias("grams"))
         )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
@@ -262,23 +280,21 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             # LSH tier: band-exploded equi-joins — batch×batch and
             # batch×index; the bucketed shape, never a cross product.
             # Candidates stay NARROW (id pairs) through the distinct;
-            # gram arrays join back by id for the verify (the batch
-            # flagship's shape)
+            # gram arrays are computed for CANDIDATE ids only and join
+            # back by id for the verify (the batch flagship's shape)
             def explode_bands(d: DataFrame, id_alias: str) -> DataFrame:
                 return d.select(F.col("doc_id").alias(id_alias), F.explode("bands").alias("b")).select(
                     id_alias, F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
                 )
 
-            bgrams = batch_docs.select("doc_id", "grams")
-
-            def verify(cands: DataFrame, ga_lookup: DataFrame) -> DataFrame:
+            def verify(cands: DataFrame, lut_a: DataFrame, lut_b: DataFrame) -> DataFrame:
                 return (
                     cands.join(
-                        ga_lookup.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga")),
+                        lut_a.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga")),
                         on="id_a",
                     )
                     .join(
-                        bgrams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb")),
+                        lut_b.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb")),
                         on="id_b",
                     )
                     .withColumn("j", jaccard(F.col("ga"), F.col("gb")))
@@ -286,15 +302,18 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 )
 
             new_b = explode_bands(batch_docs, "id_b")
-            # within-batch pairs: id-ordered (keep the lower id)
+            # within-batch pairs: id-ordered (keep the lower id).
+            # Materialized once — consumed by the batch gram-lut
+            # semi-join and the verify
             within = (
                 explode_bands(batch_docs, "id_a")
                 .join(new_b, on=["band", "band_hash"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            drops = verify(within, bgrams).select("id_b")
+            cross = None
             if have_index:
                 # cross-index pairs: the batch side (id_b) drops
                 # UNCONDITIONALLY on a verified match — no id ordering
@@ -309,14 +328,30 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                         seen_bands.join(new_b, on=["band", "band_hash"])
                         .select("id_a", "id_b")
                         .distinct()
-                        # the candidate set is consumed twice (gram-bucket
-                        # collect + verify join) — materialize once
+                        # consumed by the doc-bucket collect, the index
+                        # gram lut and the verify — materialize once
                         .localCheckpoint(eager=True)
                     )
-                    gram_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)
-                    if gram_buckets:
-                        seen_grams = self._grams.read_pruned(spark, gram_buckets, batch_id)
-                        drops = drops.unionByName(verify(cross, seen_grams).select("id_b"))
+            # candidate-only gram luts: batch side covers every id a
+            # candidate pair touches in THIS batch; index side reads the
+            # (doc_id, text) index pruned to the cross id_a buckets
+            batch_cand_ids = within.select(F.col("id_a").alias("doc_id")).unionByName(
+                within.select(F.col("id_b").alias("doc_id"))
+            )
+            if cross is not None:
+                batch_cand_ids = batch_cand_ids.unionByName(
+                    cross.select(F.col("id_b").alias("doc_id"))
+                )
+            batch_lut = self._gram_lut(batch_docs, batch_cand_ids)
+            drops = verify(within, batch_lut, batch_lut).select("id_b")
+            if cross is not None:
+                doc_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)
+                if doc_buckets:
+                    seen_docs = self._docs.read_pruned(spark, doc_buckets, batch_id)
+                    index_lut = self._gram_lut(
+                        seen_docs, cross.select(F.col("id_a").alias("doc_id"))
+                    )
+                    drops = drops.unionByName(verify(cross, index_lut, batch_lut).select("id_b"))
             drop = drops.select(F.col("id_b").alias("doc_id")).distinct()
             survivors = batch_docs.join(drop, on="doc_id", how="left_anti")
 
@@ -333,7 +368,7 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             self._bands.write(
                 explode_bands(batch_docs, "doc_id"), F.col("band_hash"), batch_id
             )
-            self._grams.write(batch_docs.select("doc_id", "grams"), F.col("doc_id"), batch_id)
+            self._docs.write(batch_docs.select("doc_id", "text"), F.col("doc_id"), batch_id)
             from .sink import _atomic_write
 
             _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})

@@ -459,7 +459,7 @@ def test_streaming_index_reads_are_partition_pruned(spark, tmp_path):
     cleaner(curation_filter(docs.filter(F.col("doc_id") < 200)), 0)
     cleaner(curation_filter(docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))), 1)
 
-    for idx, col in ((cleaner._fps, "fpb"), (cleaner._bands, "bb"), (cleaner._grams, "gb")):
+    for idx, col in ((cleaner._fps, "fpb"), (cleaner._bands, "bb"), (cleaner._docs, "db")):
         pruned = idx.read_pruned(spark, [0, 3], exclude_batch=1)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         part = plan.split("PartitionFilters")[1].split("]")[0]
