@@ -398,7 +398,14 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
     signature buckets plus ``batch_id != current`` (replay safety) —
     per-batch read cost O(touched_buckets × corpus / num_buckets),
     write cost O(batch), replay and half-failure converge (same
-    protocol as :class:`StreamingCorpusCleaner`)."""
+    protocol as :class:`StreamingCorpusCleaner`).
+
+    SIZE ``bits`` TO THE CORPUS: candidate-verify work per batch is
+    O(index × batch / 2^bits) for non-duplicate vectors, so the bucket
+    count 2^bits must grow with the indexed corpus or per-batch cost
+    creeps up (measured at 120k vectors: bits=12 → 380k collision
+    pairs/batch, per-batch time growing 2.4× over 8 batches; bits=16 →
+    flat). Exact duplicates collide at any width."""
 
     def __init__(
         self,
