@@ -4,6 +4,18 @@
 Each helper works on BOTH batch and streaming DataFrames (Spark's
 ``window``/``session_window`` functions are engine-agnostic), so the
 same pipeline code runs in the batch tests and the streaming tier.
+
+SIZING NOTE (state partitions): in a streaming query the aggregation's
+shuffle partition count (``spark.sql.shuffle.partitions``, frozen into
+the checkpoint at first run) is also the number of state-store
+instances committing every micro-batch. Size it to the STATE
+CARDINALITY (distinct window × key groups), not the executor count —
+the expensive per-row work upstream (decode UDFs, filters) gets its
+parallelism from the source partitions, while each surplus state
+partition adds a per-batch commit (measured: 32 state partitions for a
+~3.4k-key agg cost 10.9 s of summed commit time per batch vs 0.76 s at
+8, inverting throughput at high core counts — BENCH/BASELINE.md
+round-4 section). ``build_session(shuffle_partitions=...)`` sets it.
 """
 
 from __future__ import annotations

@@ -32,3 +32,15 @@ def test_compare_block_unwrapped_shape(tmp_path):
     p.write_text(json.dumps({"value": 10.0, "queries": {"q": 1.0}}))
     block = bench.compare_block({"value": 10.0, "queries": {"q": 1.0}}, str(p))
     assert block["regressions_gt_1p3x"] == []
+
+
+def test_compare_block_null_parsed_is_not_fatal(tmp_path):
+    """BENCH_r03's driver artifact carried "parsed": null (stdout tail
+    overflow) — the round-4 full bench crashed on it AFTER 70 minutes
+    of measurement. A null/empty baseline must degrade to an empty
+    compare, never raise."""
+    p = tmp_path / "BENCH_r03.json"
+    p.write_text(json.dumps({"n": 3, "rc": 0, "tail": "...", "parsed": None}))
+    block = bench.compare_block({"value": 10.0, "queries": {"q": 1.0}}, str(p))
+    assert block["per_query_ratio_cur_over_prev"] == {}
+    assert block["regressions_gt_1p3x"] == []
