@@ -499,3 +499,22 @@ def test_streaming_embedding_dedup_out_of_order_ids(spark, tmp_path):
     dd(later, 1)
     got = sorted(r["vec_id"] for r in dd.read(spark).collect())
     assert got == [500000 + i for i in range(10)], got
+
+
+def test_streaming_index_write_file_counts_bounded(spark, tmp_path):
+    """Per-batch index writes repartition by bucket BEFORE partitionBy —
+    each batch adds ≤ num_buckets files per index table (not
+    shuffle_partitions × num_buckets small files; small-file creep is
+    its own scale-killer on a long stream)."""
+    import glob
+
+    import __spark_entry__ as entry
+    from dataflows_spark.streaming import StreamingCorpusCleaner, curation_filter
+
+    docs = entry._docs_with_dups(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    out = str(tmp_path / "fc_out")
+    cleaner = StreamingCorpusCleaner(out, num_buckets=8)
+    cleaner(curation_filter(docs.filter(F.col("doc_id") < 300)), 0)
+    for idx in (cleaner._fps, cleaner._bands, cleaner._docs):
+        files = glob.glob(os.path.join(idx.path, "batch_id=0", "*", "*.parquet"))
+        assert 0 < len(files) <= 8, (idx.path, len(files))
