@@ -681,6 +681,82 @@ def q_extract_missing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_duplicate_resource(spark: SparkSession, sf: str) -> DataFrame:
+    """``duplicate`` (reference duplicate.py): copy a resource under a
+    new name — Catalyst reuses the scan instead of the reference's
+    KVFile buffer copy. Gate returns both resources unioned under a
+    source tag."""
+    from dataflows_spark import duplicate
+
+    pkg = Flow(
+        load(_t(sf, "region"), name="region"),
+        duplicate(source="region", target_name="region_copy"),
+    ).dataframes(spark)
+    a = pkg["region"].select(F.lit("region").alias("src"), "r_regionkey", "r_name")
+    b = pkg["region_copy"].select(F.lit("region_copy").alias("src"), "r_regionkey", "r_name")
+    return a.unionByName(b)
+
+
+def q_conditional_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """``conditional`` (reference conditional.py): a sub-Flow splices in
+    iff the predicate holds on the package schema. One true predicate
+    (filter applies) + one false predicate (filter must NOT apply)."""
+    from dataflows_spark import conditional, filter_rows
+
+    pkg = Flow(
+        load(_t(sf, "orders"), name="orders"),
+        conditional(
+            lambda p: "o_totalprice" in p["orders"].columns,
+            Flow(filter_rows(condition="o_totalprice > 200000", resources="orders")),
+        ),
+        conditional(
+            lambda p: "no_such_column" in p["orders"].columns,
+            Flow(filter_rows(condition="o_orderkey < 0", resources="orders")),
+        ),
+    ).dataframes(spark)
+    return pkg["orders"].select("o_orderkey", "o_totalprice")
+
+
+def q_parallelize_rowfunc(spark: SparkSession, sf: str) -> DataFrame:
+    """``parallelize`` (reference parallelize.py:83-103): repartition +
+    per-row function with the predicate fast-path — rows failing the
+    predicate pass through untouched. Runs as an Arrow-batched
+    mapInPandas, never a per-row Python UDF in the plan."""
+    from dataflows_spark import parallelize
+
+    def upper_name(row):
+        row["n_name"] = row["n_name"].upper()
+        return row
+
+    pkg = Flow(
+        load(_t(sf, "nation"), name="nation"),
+        parallelize(
+            row_func=upper_name,
+            num_processors=8,
+            predicate=lambda row: row["n_nationkey"] % 2 == 0,
+        ),
+    ).dataframes(spark)
+    return pkg["nation"].select("n_nationkey", "n_name")
+
+
+def q_dump_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """``dump_to_path`` → datapackage manifest → ``load`` round-trip
+    (reference dumper_base/file_dumper + load datapackage support):
+    what lands on disk and reloads must equal the source table
+    row-exactly (parquet format — the lossless columnar default)."""
+    import tempfile
+
+    from dataflows_spark import dump_to_path
+
+    out = os.path.join(tempfile.mkdtemp(prefix="dfs_dump_gate_"), "pkg")
+    Flow(
+        load(_t(sf, "supplier"), name="supplier"),
+        dump_to_path(out),
+    ).process(spark)
+    pkg = Flow(load(os.path.join(out, "datapackage.json"))).dataframes(spark)
+    return pkg["supplier"].select("s_suppkey", "s_name", "s_acctbal")
+
+
 def q_load_ods(spark: SparkSession, sf: str) -> DataFrame:
     """The ODS (OpenDocument spreadsheet) load path end-to-end: the
     nation table is exported to a real .ods (stdlib writer), loaded
@@ -956,6 +1032,10 @@ _QUERIES = {
         "array_agg_ordered": q_array_agg_ordered,
         "extract_missing": q_extract_missing,
         "load_ods": q_load_ods,
+        "duplicate_resource": q_duplicate_resource,
+        "conditional_stage": q_conditional_stage,
+        "parallelize_rowfunc": q_parallelize_rowfunc,
+        "dump_roundtrip": q_dump_roundtrip,
         "validate_recast": q_validate_recast,
         "set_type_drop": q_set_type_drop,
         "set_type_clear": q_set_type_clear,
@@ -1179,6 +1259,18 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
     sql["load_ods"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sql["duplicate_resource"] = (
+        "SELECT 'region' AS src, r_regionkey, r_name FROM region "
+        "UNION ALL SELECT 'region_copy' AS src, r_regionkey, r_name FROM region"
+    )
+    sql["conditional_stage"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000"
+    )
+    sql["parallelize_rowfunc"] = (
+        "SELECT n_nationkey, CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) "
+        "ELSE n_name END AS n_name FROM nation"
+    )
+    sql["dump_roundtrip"] = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
     sql["extract_missing"] = (
         "SELECT c_custkey, "
         "CASE WHEN c_name = 'Customer#000000001' THEN NULL ELSE c_name END AS c_name, "
