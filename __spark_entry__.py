@@ -757,6 +757,40 @@ def q_dump_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return pkg["supplier"].select("s_suppkey", "s_name", "s_acctbal")
 
 
+def q_validate_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """``validate(on_error='quarantine')``: failing ORIGINAL rows land
+    in the ``<resource>__invalid`` side resource instead of being
+    dropped or raising (reference schema_validator error routing,
+    SURVEY §2.3). Gate returns kept + quarantined rows under a tag —
+    together they must reconstruct the source exactly."""
+    from dataflows_spark import validate
+
+    pkg = Flow(
+        load(_t(sf, "supplier"), name="supplier"),
+        validate("s_acctbal", F.col("s_acctbal") > 0, on_error="quarantine"),
+    ).dataframes(spark)
+    kept = pkg["supplier"].select(F.lit("kept").alias("bucket"), "s_suppkey", "s_acctbal")
+    bad = pkg["supplier__invalid"].select(F.lit("invalid").alias("bucket"), "s_suppkey", "s_acctbal")
+    return kept.unionByName(bad)
+
+
+def q_zip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """``dump_to_zip`` → single-file package archive → ``load`` of the
+    .zip (reference ZipDumper + tabulator zip loading): the packaged
+    resource must reload row-exactly."""
+    import tempfile
+
+    from dataflows_spark import dump_to_zip
+
+    zpath = os.path.join(tempfile.mkdtemp(prefix="dfs_zip_gate_"), "pkg.zip")
+    Flow(
+        load(_t(sf, "part"), name="part"),
+        dump_to_zip(zpath, format="parquet"),
+    ).process(spark)
+    pkg = Flow(load(zpath)).dataframes(spark)
+    return pkg["part"].select("p_partkey", "p_name", "p_retailprice")
+
+
 def q_load_ods(spark: SparkSession, sf: str) -> DataFrame:
     """The ODS (OpenDocument spreadsheet) load path end-to-end: the
     nation table is exported to a real .ods (stdlib writer), loaded
@@ -1032,6 +1066,8 @@ _QUERIES = {
         "array_agg_ordered": q_array_agg_ordered,
         "extract_missing": q_extract_missing,
         "load_ods": q_load_ods,
+        "validate_quarantine": q_validate_quarantine,
+        "zip_roundtrip": q_zip_roundtrip,
         "duplicate_resource": q_duplicate_resource,
         "conditional_stage": q_conditional_stage,
         "parallelize_rowfunc": q_parallelize_rowfunc,
@@ -1259,6 +1295,11 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
     sql["load_ods"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sql["validate_quarantine"] = (
+        "SELECT CASE WHEN s_acctbal > 0 THEN 'kept' ELSE 'invalid' END AS bucket, "
+        "s_suppkey, s_acctbal FROM supplier"
+    )
+    sql["zip_roundtrip"] = "SELECT p_partkey, p_name, p_retailprice FROM part"
     sql["duplicate_resource"] = (
         "SELECT 'region' AS src, r_regionkey, r_name FROM region "
         "UNION ALL SELECT 'region_copy' AS src, r_regionkey, r_name FROM region"
