@@ -607,11 +607,14 @@ def run_streaming_curation_tier(n_batches: int = 8) -> dict:
             "per_batch_sec": per_batch,
             "docs_per_batch": SF1_N // n_batches,
             "survivors": survivors,
-            # flatness: last batch (max accumulated index) vs second
-            # (first batch pays warm-up); ~1.0 = per-batch cost does
-            # not grow with the corpus
-            "growth_last_over_second": round(per_batch[-1] / per_batch[1], 2)
-            if len(per_batch) > 2 and per_batch[1] > 0
+            # flatness: second-to-last batch (max accumulated DUP-FREE
+            # index) vs second (first pays warm-up); ~1.0 = per-batch
+            # cost does not grow with the corpus. The LAST batch is
+            # excluded from the ratio — it carries the planted
+            # duplicates, so its extra time is real candidate-verify
+            # work, not index growth (it's still in per_batch_sec).
+            "growth_penultimate_over_second": round(per_batch[-2] / per_batch[1], 2)
+            if len(per_batch) > 3 and per_batch[1] > 0
             else None,
         }
 
