@@ -62,6 +62,10 @@ def _gsheet_export_url(url: str, force: bool = False) -> str | None:
         return None
     if re.search(r"/export\b", url):
         return url  # already an export endpoint
+    if re.search(r"/pub\b", url):
+        # published-to-web link — already serves the chosen format
+        # directly (and /export would need auth); just ensure csv output
+        return url if "output=" in url else url + ("&" if "?" in url else "?") + "output=csv"
     m = re.search(r"/spreadsheets/(?:u/\d+/)?d/(?:e/)?([^/?#]+)", url)
     if not m:
         return None

@@ -336,3 +336,67 @@ def test_gsheet_load_via_fixture_server(spark, tmp_path):
         assert sorted((r["a"], r["b"]) for r in pkg["g"].collect()) == [(1, "x"), (2, "y")]
     finally:
         srv.shutdown()
+
+
+def test_gsheet_published_urls_pass_through():
+    from dataflows_spark.operators.load import _gsheet_export_url as gs
+
+    u = "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?output=csv"
+    assert gs(u) == u  # published link already serves CSV
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3")
+        == "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3&output=csv"
+    )
+
+
+def test_ods_roundtrip_property():
+    """Hypothesis: arbitrary cell content (XML-special chars, unicode,
+    numbers, bools, Nones) survives the write_ods → read_ods round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflows_spark.sources.ods import read_ods, write_ods
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")), min_size=0, max_size=40
+    )
+    cell = st.one_of(
+        st.none(),
+        text,
+        st.integers(min_value=-(2**50), max_value=2**50),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=3, max_size=3), min_size=1, max_size=6))
+    def check(rows):
+        import tempfile, os
+
+        path = os.path.join(tempfile.mkdtemp(prefix="ods_prop_"), "t.ods")
+        write_ods(path, ["a", "b", "c"], rows)
+        header, got = read_ods(path)
+        assert header == ["a", "b", "c"]
+        # trailing all-empty rows are spreadsheet padding — trimmed by
+        # the reader (same as tabulator/openpyxl semantics)
+        def empty(r):
+            return all(v is None or v == "" for v in r)
+
+        while rows and empty(rows[-1]):
+            rows = rows[:-1]
+        assert len(got) == len(rows)
+        for want_row, got_row in zip(rows, got):
+            for w, g in zip(want_row, got_row):
+                if w is None or (isinstance(w, str) and w == ""):
+                    # empty string and None both render as an empty cell
+                    assert g is None or g == ""
+                elif isinstance(w, float):
+                    assert g is not None and abs(float(g) - w) <= 1e-6 * max(1.0, abs(w))
+                elif isinstance(w, str):
+                    # ODF text: leading/trailing whitespace normalization is
+                    # out of scope for the minimal writer — compare stripped
+                    assert isinstance(g, str) and g.split() == w.split()
+                else:
+                    assert g == w
+
+    check()
