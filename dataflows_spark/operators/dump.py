@@ -62,6 +62,7 @@ class dump_to_path(Stage):
         mode: str = "overwrite",
         options: dict[str, Any] | None = None,
         add_filehash_to_path: bool = False,
+        file_formatters: dict[str, Any] | None = None,
     ):
         self.out_path = out_path
         self.format = format
@@ -72,6 +73,10 @@ class dump_to_path(Stage):
         # reference dumper_base.py:67-75 / file_dumper.py: content-hash
         # the dump and nest the output under it (cache-busting layout)
         self.add_filehash_to_path = add_filehash_to_path
+        #: reference file_dumper.py:37 ``file_formatters``: format name →
+        #: ``fn(df, target_path, stage) -> None`` writer override; the
+        #: callable owns the whole write for that format
+        self.file_formatters = file_formatters or {}
 
     @staticmethod
     def _dir_stats(path: str) -> tuple[int, str]:
@@ -108,15 +113,18 @@ class dump_to_path(Stage):
             df = pkg[rname]
             obs = Observation(f"dump_{rname}")
             observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            writer = observed.write.format(self.format).mode(self.mode)
-            if self.format == "csv":
-                writer = writer.option("header", "true")
-            for k, v in self.options.items():
-                writer = writer.option(k, v)
-            if self.partition_by:
-                writer = writer.partitionBy(*self.partition_by)
             target = os.path.join(self.out_path, rname)
-            writer.save(target)
+            if self.format in self.file_formatters:
+                self.file_formatters[self.format](observed, target, self)
+            else:
+                writer = observed.write.format(self.format).mode(self.mode)
+                if self.format == "csv":
+                    writer = writer.option("header", "true")
+                for k, v in self.options.items():
+                    writer = writer.option(k, v)
+                if self.partition_by:
+                    writer = writer.partitionBy(*self.partition_by)
+                writer.save(target)
             pkg.resource_meta[rname]["_written"] = True
             pkg.resource_meta[rname]["path"] = target
             pkg.resource_meta[rname]["format"] = self.format

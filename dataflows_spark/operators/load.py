@@ -150,6 +150,7 @@ class load(Stage):
         on_error: str | None = None,
         sheet: Any = 1,
         resources: Any = None,
+        custom_parsers: dict[str, Any] | None = None,
         **options: Any,
     ):
         self.source = source
@@ -157,6 +158,13 @@ class load(Stage):
         self.format = format
         self.sheet = sheet
         self.resources = resources
+        #: reference load.py:131-137 ``custom_parsers``: format name →
+        #: ``fn(spark, path, stage) -> DataFrame``. A user parser takes
+        #: precedence over the built-in for the same format name; at
+        #: scale a parser that needs executor-side parallelism should
+        #: return a DataFrame built from a distributed read (DataSource
+        #: V2 / spark.read.format plugin), not a driver loop.
+        self.custom_parsers = custom_parsers or {}
         # reference load.py:55-63 knobs: per-field type overrides applied
         # post-read as try_casts with schema_validator error policies
         self.override_fields = override_fields
@@ -184,6 +192,8 @@ class load(Stage):
                 reader = reader.option(k, v)
             return reader.load()
         fmt = _infer_format(source, self.format)
+        if fmt in self.custom_parsers:
+            return self.custom_parsers[fmt](ctx.spark, source, self)
         if fmt == "xlsx":
             from ..sources.xlsx import xlsx_to_dataframe
 

@@ -400,3 +400,48 @@ def test_ods_roundtrip_property():
                     assert g == w
 
     check()
+
+
+def test_custom_parser_hook(spark, tmp_path):
+    """``custom_parsers`` (reference load.py:131-137): a user-supplied
+    format-name → parser callable takes precedence for its format."""
+    p = tmp_path / "data.wkv"
+    p.write_text("a=1;b=x\na=2;b=y\n")
+
+    def wkv_parser(sp, path, stage):
+        rows = []
+        for line in open(path):
+            d = dict(kv.split("=") for kv in line.strip().split(";"))
+            rows.append((int(d["a"]), d["b"]))
+        return sp.createDataFrame(rows, "a bigint, b string")
+
+    pkg = Flow(
+        load(str(p), name="r", format="wkv", custom_parsers={"wkv": wkv_parser})
+    ).dataframes(spark)
+    assert sorted((r["a"], r["b"]) for r in pkg["r"].collect()) == [(1, "x"), (2, "y")]
+
+
+def test_custom_file_formatter_hook(spark, tmp_path):
+    """``file_formatters`` (reference file_dumper.py:37): a user writer
+    owns the write for its format name."""
+    from dataflows_spark import dump_to_path
+
+    import os
+
+    written = {}
+
+    def tsvish_writer(df, target, stage):
+        rows = df.collect()  # fixture-scale custom writer
+        os.makedirs(target, exist_ok=True)
+        with open(os.path.join(target, "data.tsv"), "w") as fh:
+            for r in rows:
+                fh.write("\t".join(str(v) for v in r) + "\n")
+        written["target"] = target
+
+    out = str(tmp_path / "dump")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out, format="tsvish", file_formatters={"tsvish": tsvish_writer}),
+    ).process(spark)
+    assert written and os.path.exists(os.path.join(written["target"], "data.tsv"))
+    assert len(open(os.path.join(written["target"], "data.tsv")).readlines()) == 5
