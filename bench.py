@@ -851,7 +851,33 @@ def main() -> None:
         except Exception as e:  # a broken baseline must not lose the run
             result["compare"] = {"error": f"{type(e).__name__}: {e}", "baseline": compare_to}
         persist()
-    print(json.dumps(result))
+    # the driver keeps only the LAST ~2000 chars of stdout; the full
+    # result (3.3k+ and growing) no longer fits on one line (r03's
+    # artifact had parsed=null for exactly this reason). Print a
+    # COMPACT line that fits the capture window — headline, north
+    # rules, per-query seconds — and point at BENCH/last_run.json for
+    # the complete object (sf1/sf10 tiers, curation per-batch lists,
+    # state metrics, compare ratios).
+    ss, sc = result["streaming_scaling"], result["scaling"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "scaling": {
+            "north_rule_efficiency_n_to_4n": sc["north_rule_efficiency_n_to_4n"],
+            "clips_per_sec": sc["clips_per_sec"],
+            "efficiency_8_to_32_vs_hw_ceiling": sc["efficiency_8_to_32_vs_hw_ceiling"],
+        },
+        "streaming_scaling": {
+            "north_rule_efficiency_n_to_4n_steady": ss["north_rule_efficiency_n_to_4n_steady"],
+            "clips_per_sec_steady": ss["clips_per_sec_steady"],
+        },
+        "regressions_gt_1p3x": (result.get("compare") or {}).get("regressions_gt_1p3x"),
+        "full_result": "BENCH/last_run.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
