@@ -541,6 +541,18 @@ def run_sf10_tier() -> dict:
     return {"n_docs": SF10_N, "n_vectors": SF10_N, "sec": timings, "result_rows": counts}
 
 
+def _median_growth(per_batch: list[float]) -> float | None:
+    """median(last half)/median(first half) over the dup-free span
+    (drop warm-up batch 0 and the final planted-duplicate batch)."""
+    import statistics
+
+    mid = per_batch[1:-1]
+    if len(mid) < 4 or not all(mid):
+        return None
+    half = len(mid) // 2
+    return round(statistics.median(mid[half:]) / statistics.median(mid[:half]), 2)
+
+
 def run_streaming_curation_tier(n_batches: int = 8) -> dict:
     """The streaming curation tier per-micro-batch (judge round-3 item
     5): feed the 120k-doc / 120k-vector sf1 corpus through
@@ -607,15 +619,14 @@ def run_streaming_curation_tier(n_batches: int = 8) -> dict:
             "per_batch_sec": per_batch,
             "docs_per_batch": SF1_N // n_batches,
             "survivors": survivors,
-            # flatness: second-to-last batch (max accumulated DUP-FREE
-            # index) vs second (first pays warm-up); ~1.0 = per-batch
-            # cost does not grow with the corpus. The LAST batch is
-            # excluded from the ratio — it carries the planted
-            # duplicates, so its extra time is real candidate-verify
-            # work, not index growth (it's still in per_batch_sec).
-            "growth_penultimate_over_second": round(per_batch[-2] / per_batch[1], 2)
-            if len(per_batch) > 3 and per_batch[1] > 0
-            else None,
+            # flatness: median of the LAST dup-free batches over median
+            # of the FIRST dup-free batches (batch 0 pays warm-up, the
+            # final batch carries the planted duplicates — real verify
+            # work, not index growth; both excluded, medians absorb
+            # single-batch host noise). ~1.0 = per-batch cost does not
+            # grow with the corpus at this num_buckets (see the
+            # corpus-sizing rule in streaming/curation.py).
+            "growth_median_ratio": _median_growth(per_batch),
         }
 
     docs = spark.read.parquet(SF1_DOCS_PATH)
