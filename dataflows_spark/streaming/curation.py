@@ -472,10 +472,19 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                 # advisor's out-of-order duplicate leak)
                 sig_buckets = _touched_buckets(enriched, F.col("sig"), self.num_buckets)
                 if sig_buckets:
+                    # the sig equi-join exchanges NARROW (id, sig) rows
+                    # on the index side; index vectors re-attach by id
+                    # only for the verify (the lsh_neardup_pairs shuffle
+                    # discipline). The batch side keeps its vectors
+                    # inline — it is one micro-batch, broadcast-sized.
                     seen = self._index.read_pruned(spark, sig_buckets, batch_id)
-                    cross = seen.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig").join(
+                    cand = seen.select(F.col("id").alias("id_a"), "sig").join(
                         enriched.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig"),
                         on="sig",
+                    )
+                    cross = cand.join(
+                        seen.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+                        on="id_a",
                     )
                     drops = drops.unionByName(verified_drops(cross))
             survivors = enriched.join(drops.distinct(), on="id", how="left_anti")
