@@ -237,9 +237,12 @@ def stream_chain_run(cores: int) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     sink = ExactlyOnceParquetSink(os.path.join(tmp, "out"))
+    # proportional fallback keeps the --stream-chain CLI usable at any
+    # core count, not just the three benched levels
+    trigger = STREAM_TRIGGER.get(cores, max(1, round(STREAM_FILES * cores / 96)))
     sdf = (
         spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", str(STREAM_TRIGGER[cores]))
+        .option("maxFilesPerTrigger", str(trigger))
         .parquet(STREAM_SRC)
     )
     valid = sdf.filter(audio.duration_valid_col())
@@ -285,7 +288,7 @@ def stream_chain_run(cores: int) -> dict:
         "steady_sec": round(steady_sec, 2),
         "steady_clips": steady_clips,
         "batches": len(prog),
-        "files_per_trigger": STREAM_TRIGGER[cores],
+        "files_per_trigger": trigger,
         "state": _state_metrics(prog),
     }
 

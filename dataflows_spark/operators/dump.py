@@ -88,6 +88,12 @@ class dump_to_path(Stage):
 
         part_hashes = []
         total = 0
+        if os.path.isfile(path):  # a custom formatter may write a single file
+            h = hashlib.md5()
+            with open(path, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            return os.path.getsize(path), h.hexdigest()
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):
                 if f.startswith((".", "_")):
@@ -111,12 +117,18 @@ class dump_to_path(Stage):
         hash_counters: dict[str, str] = {}
         for rname in pkg.select_names(self.resources):
             df = pkg[rname]
-            obs = Observation(f"dump_{rname}")
-            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             target = os.path.join(self.out_path, rname)
             if self.format in self.file_formatters:
-                self.file_formatters[self.format](observed, target, self)
+                # the custom writer owns the write and may never run a
+                # Spark action on the DataFrame we hand it — an
+                # Observation would block forever waiting for one, so
+                # the row counter is a plain count() here (an extra
+                # action, on the user-owned path only)
+                self.file_formatters[self.format](df, target, self)
+                counters[rname] = df.count()
             else:
+                obs = Observation(f"dump_{rname}")
+                observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                 writer = observed.write.format(self.format).mode(self.mode)
                 if self.format == "csv":
                     writer = writer.option("header", "true")
@@ -125,10 +137,10 @@ class dump_to_path(Stage):
                 if self.partition_by:
                     writer = writer.partitionBy(*self.partition_by)
                 writer.save(target)
+                counters[rname] = obs.get.get("rows", 0)
             pkg.resource_meta[rname]["_written"] = True
             pkg.resource_meta[rname]["path"] = target
             pkg.resource_meta[rname]["format"] = self.format
-            counters[rname] = obs.get.get("rows", 0)
             byte_counters[rname], hash_counters[rname] = self._dir_stats(target)
         pkg.stats.setdefault("count_of_rows", {}).update(counters)
         pkg.stats.setdefault("bytes", {}).update(byte_counters)

@@ -62,6 +62,10 @@ def _gsheet_export_url(url: str, force: bool = False) -> str | None:
         return None
     if re.search(r"/export\b", url):
         return url  # already an export endpoint
+    # the standard 'Publish to web' HTML link (…/d/e/2PACX-…/pubhtml):
+    # its 2PACX token is NOT a document id, so the /export rewrite would
+    # 404 — the correct machine endpoint is /pub?output=csv
+    url = re.sub(r"/pubhtml\b", "/pub", url)
     if re.search(r"/pub\b", url):
         # published-to-web link — already serves the chosen format
         # directly (and /export would need auth); just ensure csv output
@@ -292,10 +296,19 @@ class load(Stage):
         if src.startswith("env://"):
             src = os.environ[src[6:]]
         if src.startswith(("http://", "https://")):
-            gs = _gsheet_export_url(src, force=self.format == "gsheet")
-            if gs is not None:
-                src = gs
-                if self.format in (None, "gsheet"):
+            # rewrite only when the caller has not pinned another format
+            # (an explicit format='xlsx' on a sheets URL means "fetch
+            # these bytes and parse as xlsx", not "rewrite to csv")
+            if self.format in (None, "gsheet"):
+                gs = _gsheet_export_url(src, force=self.format == "gsheet")
+                if gs is None and self.format == "gsheet":
+                    raise ValueError(
+                        f"format='gsheet' but {src!r} is not a recognizable Google-Sheets "
+                        "URL (expected a /spreadsheets/d/<id>/… UI link, an /export "
+                        "endpoint, or a published /pub(html) link)"
+                    )
+                if gs is not None:
+                    src = gs
                     self.format = "csv"  # the export endpoint serves CSV
             # a bare remote datapackage.json can't work: its resource
             # paths are directories relative to the manifest, which live

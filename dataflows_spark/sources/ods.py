@@ -65,22 +65,35 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
     else:
         table = tables[sheet - 1]
     rows: list[list] = []
+    pending_rows = 0  # interior blank-row runs replicate; trailing never materialize
     for row in table.iter(f"{_TABLE}table-row"):
         out: list = []
+        pending = 0  # run of empty cells awaiting a later non-empty cell
         for cell in row:
             if cell.tag not in (f"{_TABLE}table-cell", f"{_TABLE}covered-table-cell"):
                 continue
             v = _cell_value(cell)
             rep = min(int(cell.get(f"{_TABLE}number-columns-repeated", 1)), _MAX_REPEAT)
-            # trailing filler: a repeated EMPTY cell at row end is the
-            # ODF way of padding to the sheet width — keep one, not 10k
-            out.extend([v] * (rep if v is not None else 1))
-        while out and out[-1] is None:
-            out.pop()
+            if v is None:
+                # MID-ROW repeated empty cells must expand with full
+                # multiplicity (column positions shift otherwise);
+                # TRAILING filler (LibreOffice pads every row to the
+                # sheet width with one repeated empty) must not — defer
+                # the run and materialize only if a value follows
+                pending += rep
+            else:
+                out.extend([None] * pending)
+                pending = 0
+                out.extend([v] * rep)
         rrep = min(int(row.get(f"{_TABLE}number-rows-repeated", 1)), _MAX_REPEAT)
-        rows.extend([list(out)] * (1 if not out else rrep))
-    while rows and not rows[-1]:
-        rows.pop()
+        if out:
+            for _ in range(pending_rows):
+                rows.append([])
+            pending_rows = 0
+            rows.extend([list(out)] * rrep)
+        else:
+            # blank row(s): replicate only if a non-blank row follows
+            pending_rows += rrep
     if not rows:
         return [], []
     width = max(len(r) for r in rows)

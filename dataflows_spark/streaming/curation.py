@@ -210,7 +210,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         from ..functions.dedup import arrow_minhash_udf
 
         if self.hash_fn == "arrow":
-            sig = arrow_minhash_udf(self.num_hashes, self.ngram)(F.col("text"))
+            # the source column, NOT the post-select alias "text" — this
+            # select computes every expression against the raw batch
+            sig = arrow_minhash_udf(self.num_hashes, self.ngram)(F.col(self.text_col))
         else:
             sig = minhash_sig_expr(
                 char_ngrams(F.col(self.text_col), self.ngram), self.num_hashes, self.hash_fn

@@ -445,3 +445,94 @@ def test_custom_file_formatter_hook(spark, tmp_path):
     ).process(spark)
     assert written and os.path.exists(os.path.join(written["target"], "data.tsv"))
     assert len(open(os.path.join(written["target"], "data.tsv")).readlines()) == 5
+
+
+def test_ods_midrow_repeated_empty_cells(tmp_path):
+    """Review fix: mid-row repeated EMPTY cells must expand with full
+    multiplicity (column positions shift otherwise); trailing filler
+    and interior blank-row runs behave like tabulator/ezodf."""
+    import zipfile
+
+    from dataflows_spark.sources.ods import read_ods
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        # header: h0..h4
+        "<table:table-row>"
+        + "".join(
+            f'<table:table-cell office:value-type="string"><text:p>h{i}</text:p></table:table-cell>'
+            for i in range(5)
+        )
+        + "</table:table-row>"
+        # A, <3 blank>, B, then huge trailing filler (LibreOffice pads rows)
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>A</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="3"/>'
+        '<table:table-cell office:value-type="string"><text:p>B</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="16379"/>'
+        "</table:table-row>"
+        # two interior blank rows, then a data row
+        '<table:table-row table:number-rows-repeated="2"><table:table-cell '
+        'table:number-columns-repeated="16384"/></table:table-row>'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="7"><text:p>7</text:p></table:table-cell>'
+        "</table:table-row>"
+        # trailing whole-sheet blank filler row — must disappear
+        '<table:table-row table:number-rows-repeated="1048576"><table:table-cell '
+        'table:number-columns-repeated="16384"/></table:table-row>'
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    p = str(tmp_path / "lo.ods")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    header, rows = read_ods(p)
+    assert header == ["h0", "h1", "h2", "h3", "h4"]
+    assert rows[0] == ["A", None, None, None, "B"]  # B in column 4, not 1
+    assert rows[1] == [None] * 5 and rows[2] == [None] * 5  # interior blanks kept
+    assert rows[3][0] == 7
+    assert len(rows) == 4  # trailing filler rows trimmed
+
+
+def test_gsheet_pubhtml_rewrite_and_bad_url_error(spark):
+    from dataflows_spark.operators.load import _gsheet_export_url as gs
+
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/e/2PACX-xyz/pubhtml")
+        == "https://docs.google.com/spreadsheets/d/e/2PACX-xyz/pub?output=csv"
+    )
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/e/2PACX-xyz/pubhtml?gid=5&single=true")
+        == "https://docs.google.com/spreadsheets/d/e/2PACX-xyz/pub?gid=5&single=true&output=csv"
+    )
+    # forced gsheet on an unrecognizable URL: loud error, not a
+    # DATA_SOURCE_NOT_FOUND crash from spark.read.format('gsheet')
+    import pytest as _p
+
+    with _p.raises(Exception, match="gsheet"):
+        Flow(load("https://host/opaque-endpoint", name="r", format="gsheet")).dataframes(spark)
+
+
+def test_custom_formatter_without_spark_action(spark, tmp_path):
+    """Review fix: a formatter that never runs a Spark action on the
+    DataFrame (e.g. copies a precomputed file) must not hang the dump
+    on an unfired Observation; single-file targets hash fine."""
+    from dataflows_spark import dump_to_path
+
+    def file_writer(df, target, stage):
+        with open(target, "w") as fh:  # no df action at all
+            fh.write("precomputed\n")
+
+    out = str(tmp_path / "d")
+    _, stats = Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out, format="blob", file_formatters={"blob": file_writer}),
+    ).process(spark)
+    assert stats["count_of_rows"]["region"] == 5
+    assert stats["bytes"]["region"] == len("precomputed\n")

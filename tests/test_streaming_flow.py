@@ -518,3 +518,23 @@ def test_streaming_index_write_file_counts_bounded(spark, tmp_path):
     for idx in (cleaner._fps, cleaner._bands, cleaner._docs):
         files = glob.glob(os.path.join(idx.path, "batch_id=0", "*", "*.parquet"))
         assert 0 < len(files) <= 8, (idx.path, len(files))
+
+
+def test_streaming_cleaner_custom_text_col_arrow(spark, tmp_path):
+    """Review fix: the arrow (default) signature path must reference the
+    caller's text_col, not the literal column name 'text' — a non-default
+    column crashed the first micro-batch pre-fix."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.col("text").alias("body"))
+    )
+    dup = docs.unionByName(
+        docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 900000)
+    )
+    cl = StreamingCorpusCleaner(str(tmp_path / "tc_out"), text_col="body", num_buckets=8)
+    cl(dup.filter(F.col("doc_id") < 900000), 0)
+    cl(dup.filter(F.col("doc_id") >= 900000), 1)
+    ids = {r["doc_id"] for r in cl.read(spark).collect()}
+    assert ids and all(i < 900000 for i in ids)  # cross-batch exact dups dropped
