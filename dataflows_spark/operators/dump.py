@@ -42,6 +42,16 @@ def _atomic_write_dir(write_fn, final_dir: str) -> None:
     os.rename(tmp, final_dir)
 
 
+def _md5_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 class dump_to_path(Stage):
     """Write all resources + a package manifest to a directory.
 
@@ -84,27 +94,19 @@ class dump_to_path(Stage):
         md5 over the sorted per-part md5s, so the hash is independent of
         walk order (parquet part files are themselves deterministic for a
         deterministic plan + partitioning)."""
-        import hashlib
-
         part_hashes = []
         total = 0
         if os.path.isfile(path):  # a custom formatter may write a single file
-            h = hashlib.md5()
-            with open(path, "rb") as fh:
-                for chunk in iter(lambda: fh.read(1 << 20), b""):
-                    h.update(chunk)
-            return os.path.getsize(path), h.hexdigest()
+            return os.path.getsize(path), _md5_file(path)
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):
                 if f.startswith((".", "_")):
                     continue
                 full = os.path.join(root, f)
                 total += os.path.getsize(full)
-                h = hashlib.md5()
-                with open(full, "rb") as fh:
-                    for chunk in iter(lambda: fh.read(1 << 20), b""):
-                        h.update(chunk)
-                part_hashes.append(h.hexdigest())
+                part_hashes.append(_md5_file(full))
+        import hashlib
+
         agg = hashlib.md5(",".join(sorted(part_hashes)).encode()).hexdigest()
         return total, agg
 

@@ -296,10 +296,12 @@ class load(Stage):
         if src.startswith("env://"):
             src = os.environ[src[6:]]
         if src.startswith(("http://", "https://")):
-            # rewrite only when the caller has not pinned another format
-            # (an explicit format='xlsx' on a sheets URL means "fetch
-            # these bytes and parse as xlsx", not "rewrite to csv")
-            if self.format in (None, "gsheet"):
+            # rewrite unless the caller pinned a format that means
+            # "parse the fetched bytes as-is" (an explicit
+            # format='xlsx'/'ods' on a sheets URL fetches those bytes);
+            # format='csv' still rewrites — the export endpoint serves
+            # exactly csv, and UI links pinned csv worked pre-round-4
+            if self.format in (None, "gsheet", "csv"):
                 gs = _gsheet_export_url(src, force=self.format == "gsheet")
                 if gs is None and self.format == "gsheet":
                     raise ValueError(

@@ -79,8 +79,13 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
                 # multiplicity (column positions shift otherwise);
                 # TRAILING filler (LibreOffice pads every row to the
                 # sheet width with one repeated empty) must not — defer
-                # the run and materialize only if a value follows
-                pending += rep
+                # the run and materialize only if a value follows.
+                # Deferred runs never expand for trailing filler, so
+                # the bound here is the ODS column maximum, not
+                # _MAX_REPEAT (a >10k interior gap must keep positions)
+                pending += min(
+                    int(cell.get(f"{_TABLE}number-columns-repeated", 1)), 16384
+                )
             else:
                 out.extend([None] * pending)
                 pending = 0

@@ -536,3 +536,75 @@ def test_custom_formatter_without_spark_action(spark, tmp_path):
     ).process(spark)
     assert stats["count_of_rows"]["region"] == 5
     assert stats["bytes"]["region"] == len("precomputed\n")
+
+
+def test_gsheet_rewrite_with_pinned_csv_format(spark, tmp_path):
+    """Review fix 2: format='csv' on a sheets UI URL must still rewrite
+    to the export endpoint (it serves exactly csv) — the narrowing for
+    xlsx/ods pins must not regress csv-pinned callers."""
+    import functools
+    import http.server
+    import threading
+
+    root = tmp_path / "gs2"
+    (root / "spreadsheets" / "d" / "K2").mkdir(parents=True)
+    (root / "spreadsheets" / "d" / "K2" / "export").write_text("a,b\n5,z\n")
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=str(root))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        import sys as _sys
+
+        load_mod = _sys.modules["dataflows_spark.operators.load"]
+        orig = load_mod._gsheet_export_url
+
+        def fake(url, force=False):
+            # stand in for the docs.google.com host match on localhost
+            return orig(url, force=True)
+
+        load_mod._gsheet_export_url = fake
+        try:
+            pkg = Flow(
+                load(f"http://127.0.0.1:{port}/spreadsheets/d/K2/edit#gid=0", name="g", format="csv")
+            ).dataframes(spark)
+            assert [(r["a"], r["b"]) for r in pkg["g"].collect()] == [(5, "z")]
+        finally:
+            load_mod._gsheet_export_url = orig
+    finally:
+        srv.shutdown()
+
+
+def test_ods_interior_gap_beyond_10k(tmp_path):
+    """Review fix 2: a mid-row empty run larger than the generic repeat
+    cap must keep full multiplicity (positions matter); only trailing
+    filler may be dropped."""
+    import zipfile
+
+    from dataflows_spark.sources.ods import read_ods
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>h</text:p></table:table-cell>'
+        "</table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>A</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="12000"/>'
+        '<table:table-cell office:value-type="string"><text:p>B</text:p></table:table-cell>'
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    p = str(tmp_path / "gap.ods")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    _header, rows = read_ods(p)
+    assert rows[0][0] == "A" and rows[0][12001] == "B"  # exact column kept
+    assert len(rows[0]) == 12002
