@@ -791,6 +791,24 @@ def q_zip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return pkg["part"].select("p_partkey", "p_name", "p_retailprice")
 
 
+def q_sql_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """``dump_to_sql`` (rewrite) → JDBC ``load`` round-trip against an
+    embedded Derby database — the real SQL write/read path (reference
+    processors/dumpers/to_sql.py) under the oracle gate: what lands in
+    the database and reads back must equal the source row-exactly."""
+    import uuid
+
+    from dataflows_spark import dump_to_sql
+
+    url = f"jdbc:derby:memory:dfs_gate_{uuid.uuid4().hex[:8]};create=true"
+    Flow(
+        load(_t(sf, "supplier"), name="supplier"),
+        dump_to_sql({"gate_supplier": {"resource-name": "supplier", "mode": "rewrite"}}, engine=url),
+    ).process(spark)
+    pkg = Flow(load(url, name="s", dbtable="gate_supplier")).dataframes(spark)
+    return pkg["s"].select("s_suppkey", "s_name", "s_acctbal")
+
+
 def q_load_ods(spark: SparkSession, sf: str) -> DataFrame:
     """The ODS (OpenDocument spreadsheet) load path end-to-end: the
     nation table is exported to a real .ods (stdlib writer), loaded
@@ -1066,6 +1084,7 @@ _QUERIES = {
         "array_agg_ordered": q_array_agg_ordered,
         "extract_missing": q_extract_missing,
         "load_ods": q_load_ods,
+        "sql_roundtrip": q_sql_roundtrip,
         "validate_quarantine": q_validate_quarantine,
         "zip_roundtrip": q_zip_roundtrip,
         "duplicate_resource": q_duplicate_resource,
@@ -1295,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
     sql["load_ods"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sql["sql_roundtrip"] = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
     sql["validate_quarantine"] = (
         "SELECT CASE WHEN s_acctbal > 0 THEN 'kept' ELSE 'invalid' END AS bucket, "
         "s_suppkey, s_acctbal FROM supplier"
