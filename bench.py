@@ -563,8 +563,9 @@ def run_streaming_curation_tier(n_batches: int = 8) -> dict:
     ``n_batches`` equal micro-batches and record EACH batch's trigger
     wall time. With the bucketed index (pruned per-batch reads +
     O(batch) appends) the per-batch cost must stay ~flat as the
-    accumulated index grows — ``growth_last_over_second`` is the
-    flatness evidence (an O(corpus) index scan reads ~linear growth)."""
+    accumulated index grows — ``growth_median_ratio`` (medians over the
+    dup-free span) is the flatness evidence (an O(corpus) index scan
+    reads ~linear growth)."""
     import shutil
     import tempfile
 

@@ -160,6 +160,10 @@ class load(Stage):
         self.source = source
         self.res_name = name
         self.format = format
+        #: the caller's ORIGINAL format pin — process() may resolve
+        #: self.format (gsheet → csv after a URL rewrite), and a stage
+        #: re-run after a transient failure must take the same branch
+        self._pinned_format = format
         self.sheet = sheet
         self.resources = resources
         #: reference load.py:131-137 ``custom_parsers``: format name →
@@ -286,6 +290,12 @@ class load(Stage):
             if fmt is None:  # older manifests: sniff from the part files
                 exts = {os.path.splitext(f)[1] for f in os.listdir(path) if not f.startswith(("_", "."))}
                 fmt = next((_EXT_FORMAT[e] for e in exts if e in _EXT_FORMAT), "parquet")
+            if fmt in self.custom_parsers:
+                # a package dumped through a custom file_formatter can
+                # only reload through the matching custom parser — the
+                # manifest branch must honor the hook like _read does
+                pkg.add(rname, self.custom_parsers[fmt](ctx.spark, path, self), **meta)
+                continue
             reader = ctx.spark.read.format(fmt)
             if fmt == "csv":
                 reader = reader.option("header", "true").option("inferSchema", "true")
@@ -301,9 +311,9 @@ class load(Stage):
             # format='xlsx'/'ods' on a sheets URL fetches those bytes);
             # format='csv' still rewrites — the export endpoint serves
             # exactly csv, and UI links pinned csv worked pre-round-4
-            if self.format in (None, "gsheet", "csv"):
-                gs = _gsheet_export_url(src, force=self.format == "gsheet")
-                if gs is None and self.format == "gsheet":
+            if self._pinned_format in (None, "gsheet", "csv"):
+                gs = _gsheet_export_url(src, force=self._pinned_format == "gsheet")
+                if gs is None and self._pinned_format == "gsheet":
                     raise ValueError(
                         f"format='gsheet' but {src!r} is not a recognizable Google-Sheets "
                         "URL (expected a /spreadsheets/d/<id>/… UI link, an /export "

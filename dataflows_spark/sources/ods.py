@@ -73,7 +73,10 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
             if cell.tag not in (f"{_TABLE}table-cell", f"{_TABLE}covered-table-cell"):
                 continue
             v = _cell_value(cell)
-            rep = min(int(cell.get(f"{_TABLE}number-columns-repeated", 1)), _MAX_REPEAT)
+            # cell repeats bound at the ODS COLUMN maximum (16384) so
+            # interior runs — valued or empty — keep exact positions;
+            # _MAX_REPEAT only bounds ROW repeats
+            rep = min(int(cell.get(f"{_TABLE}number-columns-repeated", 1)), 16384)
             if v is None:
                 # MID-ROW repeated empty cells must expand with full
                 # multiplicity (column positions shift otherwise);
@@ -83,9 +86,7 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
                 # Deferred runs never expand for trailing filler, so
                 # the bound here is the ODS column maximum, not
                 # _MAX_REPEAT (a >10k interior gap must keep positions)
-                pending += min(
-                    int(cell.get(f"{_TABLE}number-columns-repeated", 1)), 16384
-                )
+                pending += rep
             else:
                 out.extend([None] * pending)
                 pending = 0

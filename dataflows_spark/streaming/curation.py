@@ -119,7 +119,34 @@ class _BucketedIndex:
             e.startswith("batch_id=") for e in os.listdir(self.path)
         )
 
+    def _check_meta(self) -> None:
+        """The bucket modulus is baked into every on-disk partition
+        value: resuming with a DIFFERENT num_buckets would prune reads
+        against the wrong modulus and make the whole index invisible —
+        duplicates would silently leak. Persist the modulus on first
+        write and refuse a mismatched resume (re-bucketing an index is
+        an explicit offline rewrite, not a config flip)."""
+        import json
+
+        meta_path = os.path.join(self.path, "_index_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = json.load(fh).get("num_buckets")
+            if stored != self.num_buckets:
+                raise ValueError(
+                    f"index at {self.path} was written with num_buckets={stored}; "
+                    f"resuming with num_buckets={self.num_buckets} would prune "
+                    "against the wrong modulus and silently miss duplicates. "
+                    "Rewrite the index (or keep the original value)."
+                )
+            return
+        os.makedirs(self.path, exist_ok=True)
+        from .sink import _atomic_write
+
+        _atomic_write(meta_path, {"num_buckets": self.num_buckets})
+
     def write(self, df: DataFrame, key: Column, batch_id: int) -> None:
+        self._check_meta()
         (
             df.withColumn(self.bucket_col, _bucket(key, self.num_buckets))
             # one task per bucket → ≤ num_buckets files per batch, not
@@ -134,6 +161,8 @@ class _BucketedIndex:
         """Partition-pruned read: only ``buckets``, never the current
         batch's own dir. Both predicates are pure partition-column
         filters (``PartitionFilters`` in the scan — plan-tested)."""
+        self._check_meta()  # reads run BEFORE writes in a batch — a
+        # mismatched modulus must fail here, not after a wrong dedup
         df = spark.read.parquet(self.path)
         return df.filter(
             (F.col("batch_id") != F.lit(exclude_batch))
@@ -344,7 +373,11 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 batch_cand_ids = batch_cand_ids.unionByName(
                     cross.select(F.col("id_b").alias("doc_id"))
                 )
-            batch_lut = self._gram_lut(batch_docs, batch_cand_ids)
+            # the lut feeds BOTH sides of the within-verify and the gb
+            # side of the cross-verify — materialize so the candidate
+            # gram hashing + semi-join run once, not 2-3× (the same
+            # reason jaccard_pairs checkpoints its enrichment)
+            batch_lut = self._gram_lut(batch_docs, batch_cand_ids).localCheckpoint(eager=True)
             drops = verify(within, batch_lut, batch_lut).select("id_b")
             if cross is not None:
                 doc_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)

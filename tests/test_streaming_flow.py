@@ -538,3 +538,58 @@ def test_streaming_cleaner_custom_text_col_arrow(spark, tmp_path):
     cl(dup.filter(F.col("doc_id") >= 900000), 1)
     ids = {r["doc_id"] for r in cl.read(spark).collect()}
     assert ids and all(i < 900000 for i in ids)  # cross-batch exact dups dropped
+
+
+def test_streaming_index_rejects_bucket_count_change(spark, tmp_path):
+    """High-effort review: the bucket modulus is baked into every
+    on-disk partition value — resuming with a different num_buckets
+    would prune against the wrong modulus and silently leak duplicates.
+    The index persists its modulus and refuses a mismatched resume."""
+    import pytest as _p
+
+    import __spark_entry__ as entry
+    from dataflows_spark.streaming import StreamingCorpusCleaner, curation_filter
+
+    docs = entry._docs_with_dups(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    out = str(tmp_path / "nb_out")
+    c1 = StreamingCorpusCleaner(out, num_buckets=8)
+    c1(curation_filter(docs.filter(F.col("doc_id") < 200)), 0)
+    # resume with a flipped bucket count → loud error, not silent leak
+    c2 = StreamingCorpusCleaner(out, num_buckets=16)
+    with _p.raises(ValueError, match="num_buckets"):
+        c2(curation_filter(docs.filter(F.col("doc_id") >= 200)), 1)
+    # same count resumes fine
+    c3 = StreamingCorpusCleaner(out, num_buckets=8)
+    c3(curation_filter(docs.filter(F.col("doc_id") >= 200)), 1)
+    assert c3.read(spark).count() > 0
+
+
+def test_custom_parser_roundtrips_through_datapackage(spark, tmp_path):
+    """High-effort review: a package dumped via a custom file_formatter
+    must reload through the matching custom parser from its manifest."""
+    import os
+
+    from dataflows_spark import Flow, dump_to_path, load
+
+    def w(df, target, stage):
+        os.makedirs(target, exist_ok=True)
+        with open(os.path.join(target, "rows.txt"), "w") as fh:
+            for r in df.collect():
+                fh.write(f"{r['r_regionkey']}|{r['r_name']}\n")
+
+    def p(sp, path, stage):
+        rows = []
+        for line in open(os.path.join(path, "rows.txt")):
+            k, n = line.rstrip("\n").split("|")
+            rows.append((int(k), n))
+        return sp.createDataFrame(rows, "r_regionkey bigint, r_name string")
+
+    out = str(tmp_path / "pkg")
+    Flow(
+        load("/root/testdata/sf0.001/region.parquet", name="region"),
+        dump_to_path(out, format="pipe", file_formatters={"pipe": w}),
+    ).process(spark)
+    pkg = Flow(
+        load(os.path.join(out, "datapackage.json"), custom_parsers={"pipe": p})
+    ).dataframes(spark)
+    assert pkg["region"].count() == 5
