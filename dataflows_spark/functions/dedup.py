@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
+#: One default hash family across the whole MinHash API surface
+#: (``with_minhash``, ``jaccard_pairs``, ``minhash_lsh_candidates``,
+#: ``StreamingCorpusCleaner``): signatures from one function's default
+#: always band-match candidates from another's. 'arrow' is the
+#: vectorized-numpy production path; pass 'md5' explicitly when a
+#: DuckDB oracle must mirror the signature values bit-for-bit.
+DEFAULT_HASH_FN = "arrow"
+
 
 def char_ngrams(col, n: int = 3) -> Column:
     """Distinct character n-gram set of the normalized text (JVM-side:
@@ -123,15 +131,19 @@ def minhash_sig_expr(grams_col: Column, num_hashes: int, hash_fn: str = "md5") -
     return F.array(*[minhash_hash(grams_col, i) for i in range(num_hashes)])
 
 
-def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = "xxhash64") -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = DEFAULT_HASH_FN) -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
     the whole signature computation in one task.
 
-    ``hash_fn='xxhash64'`` (default) is the codegen'd JVM fast path;
-    pass ``'md5'`` when a DuckDB oracle must mirror the signature
-    values bit-for-bit (the gates do), or use
-    :func:`with_minhash_arrow` for the vectorized-numpy kernel.
+    ``hash_fn`` defaults to :data:`DEFAULT_HASH_FN` — the SAME default
+    as ``jaccard_pairs``/``minhash_lsh_candidates``, so a signature
+    table persisted with this function's defaults band-matches
+    candidates produced by the others'. ``'arrow'`` delegates to
+    :func:`with_minhash_arrow` (vectorized-numpy kernel);
+    ``'xxhash64'`` is the codegen'd JVM fast path; pass ``'md5'`` when
+    a DuckDB oracle must mirror the signature values bit-for-bit (the
+    gates do).
 
     For ``num_hashes ≤ 4`` the signature is ONE fold over the grams:
     each gram md5-hashed once, the digest sliced into independent
@@ -143,6 +155,8 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
     (bands concatenate ≥2 values → ≥64 bits). Wider signatures fall
     back to one md5 per (gram, i). Both shapes are mirrored exactly by
     the DuckDB oracle."""
+    if hash_fn == "arrow":
+        return with_minhash_arrow(df, text_col, id_col, num_hashes, ngram, partitions)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(n).select(F.col(id_col).alias("id"), char_ngrams(text_col, ngram).alias("__grams"))
     return grams.select("id", minhash_sig_expr(F.col("__grams"), num_hashes, hash_fn).alias("sig"))
@@ -351,7 +365,7 @@ def jaccard_pairs(
     num_bands: int = 2,
     sig_ngram: int = 5,
     materialize: bool = True,
-    hash_fn: str = "arrow",
+    hash_fn: str = DEFAULT_HASH_FN,
 ) -> DataFrame:
     """n-gram-Jaccard near-dup pairs with MinHash-band blocking
     (the corpus_clean shape): candidates come from an equi-self-join on
@@ -484,7 +498,7 @@ def minhash_lsh_candidates(
     num_bands: int = 4,
     ngram: int = 3,
     materialize: bool = False,
-    hash_fn: str = "arrow",
+    hash_fn: str = DEFAULT_HASH_FN,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: explode band
     hashes, self-equi-join on (band, band_hash) — shuffle-join on a

@@ -49,35 +49,84 @@ _EXT_FORMAT = {
 }
 
 
-def _gsheet_export_url(url: str, force: bool = False) -> str | None:
+def _gsheet_export_url(url: str, force: bool = False, sheet=None) -> str | None:
     """Rewrite a Google-Sheets UI URL to its CSV export endpoint — the
     reference loads ``gsheet`` sources transparently via tabulator
     (reference ``cli.py:12`` format list); here the rewrite feeds the
     existing http(s) fetch shim. Returns None for non-sheet URLs unless
     ``force`` (``format='gsheet'``), which applies the path rewrite on
-    any host (how the offline fixture-server test exercises it)."""
+    any host (how the offline fixture-server test exercises it).
+
+    ``sheet`` selects a worksheet: an int (or digit string) is the
+    sheet ``gid`` (Google's stable per-worksheet id, visible in the UI
+    URL); a non-digit string is the worksheet NAME, served through the
+    public gviz CSV endpoint (names aren't addressable on ``/export``;
+    published ``/pub`` links only address by gid, so a name there
+    raises)."""
     import re
+    import urllib.parse
 
     if not (force or "docs.google.com/spreadsheets" in url):
         return None
+    # the UI puts the worksheet selector in the FRAGMENT (…#gid=0),
+    # which browsers never send to the server — strip it first and
+    # re-extract the gid, else anything appended lands inside the
+    # fragment and the server ignores it (returns HTML, not CSV)
+    url, _, frag = url.partition("#")
+    gid = None
+    m = re.search(r"(?:^|[?&])gid=(\d+)", frag) or re.search(r"[?&]gid=(\d+)", url)
+    if m:
+        gid = m.group(1)
+    sheet_name = None
+    if sheet is not None:
+        if isinstance(sheet, str) and not sheet.isdigit():
+            sheet_name = sheet
+        else:
+            gid = str(int(sheet))  # explicit selection wins over the URL's
+
+    def with_param(u: str, param: str) -> str:
+        return u + ("&" if "?" in u else "?") + param
+
     if re.search(r"/export\b", url):
-        return url  # already an export endpoint
+        if sheet_name is not None:
+            raise ValueError(
+                "Google-Sheets /export endpoints address worksheets by gid, not "
+                f"name ({sheet_name!r}); pass sheet=<gid> or a UI /d/<id> link"
+            )
+        if gid is not None and not re.search(r"[?&]gid=\d+", url):
+            url = with_param(url, f"gid={gid}")
+        return url
     # the standard 'Publish to web' HTML link (…/d/e/2PACX-…/pubhtml):
     # its 2PACX token is NOT a document id, so the /export rewrite would
     # 404 — the correct machine endpoint is /pub?output=csv
     url = re.sub(r"/pubhtml\b", "/pub", url)
     if re.search(r"/pub\b", url):
         # published-to-web link — already serves the chosen format
-        # directly (and /export would need auth); just ensure csv output
-        return url if "output=" in url else url + ("&" if "?" in url else "?") + "output=csv"
+        # directly (and /export would need auth); ensure csv output and
+        # carry the worksheet gid (published links address sheets ONLY
+        # by gid — '&single=true' makes the selection effective)
+        if sheet_name is not None:
+            raise ValueError(
+                "published Google-Sheets links (/pub) address worksheets by gid, "
+                f"not name ({sheet_name!r}); pass sheet=<gid>"
+            )
+        if gid is not None and not re.search(r"[?&]gid=\d+", url):
+            url = with_param(url, f"gid={gid}&single=true")
+        if "output=" not in url.split("?", 1)[-1]:
+            url = with_param(url, "output=csv")
+        return url
     m = re.search(r"/spreadsheets/(?:u/\d+/)?d/(?:e/)?([^/?#]+)", url)
     if not m:
         return None
     base = url[: url.index("/spreadsheets/")]
-    gid = re.search(r"[#?&]gid=(\d+)", url)
+    if sheet_name is not None:
+        # worksheet-by-NAME needs the gviz CSV endpoint — the only
+        # public surface that takes sheet= as a name
+        q = urllib.parse.quote(sheet_name)
+        return f"{base}/spreadsheets/d/{m.group(1)}/gviz/tq?tqx=out:csv&sheet={q}"
     out = f"{base}/spreadsheets/d/{m.group(1)}/export?format=csv"
-    if gid:
-        out += f"&gid={gid.group(1)}"
+    if gid is not None:
+        out += f"&gid={gid}"
     return out
 
 
@@ -131,8 +180,10 @@ class load(Stage):
     which loads its named resources with their saved metadata —
     reference load.py datapackage support. ``env://VAR`` resolves the
     source from an environment variable (reference load.py env://
-    support). ``sheet=`` selects the xlsx worksheet (1-based index or
-    name); ``resources=`` filters datapackage resources.
+    support). ``sheet=`` selects the worksheet: for xlsx/ods a
+    1-based index or name; for Google-Sheets URLs an int/digit-string
+    is the worksheet ``gid`` and a name routes through the public gviz
+    CSV endpoint. ``resources=`` filters datapackage resources.
     """
 
     name = "load"
@@ -152,7 +203,7 @@ class load(Stage):
         cast_strategy: str | None = None,
         override_fields: dict[str, Any] | None = None,
         on_error: str | None = None,
-        sheet: Any = 1,
+        sheet: Any = None,
         resources: Any = None,
         custom_parsers: dict[str, Any] | None = None,
         **options: Any,
@@ -205,11 +256,11 @@ class load(Stage):
         if fmt == "xlsx":
             from ..sources.xlsx import xlsx_to_dataframe
 
-            return xlsx_to_dataframe(ctx.spark, source, self.sheet)
+            return xlsx_to_dataframe(ctx.spark, source, self.sheet if self.sheet is not None else 1)
         if fmt == "ods":
             from ..sources.ods import ods_to_dataframe
 
-            return ods_to_dataframe(ctx.spark, source, self.sheet)
+            return ods_to_dataframe(ctx.spark, source, self.sheet if self.sheet is not None else 1)
         if fmt == "xml":
             return self._read_xml(ctx, source)
         if fmt == "geojson":
@@ -312,7 +363,9 @@ class load(Stage):
             # format='csv' still rewrites — the export endpoint serves
             # exactly csv, and UI links pinned csv worked pre-round-4
             if self._pinned_format in (None, "gsheet", "csv"):
-                gs = _gsheet_export_url(src, force=self._pinned_format == "gsheet")
+                gs = _gsheet_export_url(
+                    src, force=self._pinned_format == "gsheet", sheet=self.sheet
+                )
                 if gs is None and self._pinned_format == "gsheet":
                     raise ValueError(
                         f"format='gsheet' but {src!r} is not a recognizable Google-Sheets "

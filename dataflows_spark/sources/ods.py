@@ -29,8 +29,11 @@ _TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 
 # a guard against the ODF repeat-count compression: trailing filler
 # rows/columns carry huge repeat counts (whole-sheet defaults) that
-# must not expand into memory
+# must not expand into memory. VALUED rows over the bound raise rather
+# than truncate (see read_ods); blank interior runs are bounded by the
+# ODS sheet row maximum instead (positions must stay exact).
 _MAX_REPEAT = 10_000
+_ODS_MAX_ROWS = 1_048_576  # the ODS 1.2 sheet row limit
 
 
 def _cell_value(cell):
@@ -91,15 +94,29 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
                 out.extend([None] * pending)
                 pending = 0
                 out.extend([v] * rep)
-        rrep = min(int(row.get(f"{_TABLE}number-rows-repeated", 1)), _MAX_REPEAT)
+        rrep = int(row.get(f"{_TABLE}number-rows-repeated", 1))
         if out:
+            # LibreOffice legitimately compresses identical consecutive
+            # DATA rows this way — truncating would silently lose rows,
+            # so the cap on VALUED rows fails loud instead (trailing
+            # blank filler, the usual >10k case, never materializes)
+            if rrep > _MAX_REPEAT:
+                raise ValueError(
+                    f"ODS row with number-rows-repeated={rrep} exceeds the "
+                    f"materialization bound ({_MAX_REPEAT}) and carries values — "
+                    "refusing to silently truncate; split the repeated rows or "
+                    "raise dataflows_spark.sources.ods._MAX_REPEAT"
+                )
             for _ in range(pending_rows):
                 rows.append([])
             pending_rows = 0
             rows.extend([list(out)] * rrep)
         else:
-            # blank row(s): replicate only if a non-blank row follows
-            pending_rows += rrep
+            # blank row(s): replicate only if a non-blank row follows —
+            # deferred, so trailing filler costs nothing; interior runs
+            # keep exact positions (bounded by the ODS sheet row
+            # maximum, not _MAX_REPEAT)
+            pending_rows += min(rrep, _ODS_MAX_ROWS)
     if not rows:
         return [], []
     width = max(len(r) for r in rows)

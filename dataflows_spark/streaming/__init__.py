@@ -1,4 +1,9 @@
-from .curation import StreamingCorpusCleaner, StreamingEmbeddingDeduper, curation_filter
+from .curation import (
+    StreamingCorpusCleaner,
+    StreamingEmbeddingDeduper,
+    curation_filter,
+    rebucket_index,
+)
 from .join import stream_stream_join
 from .listener import LineageListener
 from .sink import ExactlyOnceParquetSink, KeyedMergeSink, start_exactly_once_query
@@ -17,6 +22,7 @@ __all__ = [
     "StreamingCorpusCleaner",
     "StreamingEmbeddingDeduper",
     "curation_filter",
+    "rebucket_index",
     "dump_stream",
     "load_stream",
     "stream_deduplicate",

@@ -71,7 +71,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as txt
-from ..functions.dedup import char_ngrams, jaccard, minhash_bands, minhash_sig_expr
+from ..functions.dedup import (
+    DEFAULT_HASH_FN,
+    char_ngrams,
+    jaccard,
+    minhash_bands,
+    minhash_sig_expr,
+)
 from .sink import ExactlyOnceParquetSink
 
 
@@ -98,6 +104,13 @@ def _bucket(col: Column, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
+#: On-disk layout generation of a :class:`_BucketedIndex` — bumped
+#: whenever the directory shape changes (v2 = the bucketed
+#: ``batch_id=N/<bucket_col>=K`` layout). A meta-less data dir is a
+#: pre-versioning layout and is refused, never silently re-adopted.
+_LAYOUT_VERSION = 2
+
+
 class _BucketedIndex:
     """One key-partitioned append-only parquet index table:
     ``<dir>/batch_id=N/<bucket_col>=K/part-*.parquet``.
@@ -107,43 +120,138 @@ class _BucketedIndex:
     columns — ``batch_id != current`` (replay safety: re-delivery sees
     exactly the pre-batch index) and ``bucket ∈ touched`` (the batch's
     own key buckets, collected driver-side) — so a micro-batch never
-    scans index slivers its keys cannot match."""
+    scans index slivers its keys cannot match.
 
-    def __init__(self, path: str, bucket_col: str, num_buckets: int):
+    ``key_name`` is the data column the bucket is derived from (so an
+    offline :meth:`rebucket` can recompute it); ``extra_meta`` carries
+    every OWNER parameter that must match for the on-disk rows to stay
+    join-compatible (hash family, signature width, band count, gram
+    size, hyperplane seed, …). All of it is persisted to
+    ``_index_meta.json`` on first write and validated on every
+    resume — a mismatched hash family would produce band/gram hashes
+    that never equi-join the stored ones, so dedup would silently find
+    nothing (the round-4 advisor's leak)."""
+
+    def __init__(
+        self,
+        path: str,
+        bucket_col: str,
+        num_buckets: int,
+        key_name: str,
+        extra_meta: dict | None = None,
+    ):
         self.path = path
         self.bucket_col = bucket_col
         self.num_buckets = num_buckets
+        self.key_name = key_name
+        self.extra_meta = dict(extra_meta or {})
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
             e.startswith("batch_id=") for e in os.listdir(self.path)
         )
 
+    def _meta(self) -> dict:
+        return {
+            "layout_version": _LAYOUT_VERSION,
+            "num_buckets": self.num_buckets,
+            "bucket_col": self.bucket_col,
+            "key_name": self.key_name,
+            **self.extra_meta,
+        }
+
     def _check_meta(self) -> None:
-        """The bucket modulus is baked into every on-disk partition
-        value: resuming with a DIFFERENT num_buckets would prune reads
-        against the wrong modulus and make the whole index invisible —
-        duplicates would silently leak. Persist the modulus on first
-        write and refuse a mismatched resume (re-bucketing an index is
-        an explicit offline rewrite, not a config flip)."""
+        """Every parameter in ``_index_meta.json`` is baked into the
+        on-disk rows: a different ``num_buckets`` prunes reads against
+        the wrong modulus (whole index invisible), a different
+        ``hash_fn``/``num_hashes``/``ngram``/seed produces signatures
+        that never match the stored ones (joins silently empty) — both
+        leak duplicates without an error. Persist the full config on
+        first write, refuse ANY mismatched resume, and refuse a data
+        dir with no meta at all (a pre-versioning layout: adopting it
+        under current config would silently ignore the accumulated
+        corpus). Re-bucketing is the one supported migration — see
+        :meth:`rebucket` / :func:`rebucket_index`."""
         import json
 
         meta_path = os.path.join(self.path, "_index_meta.json")
+        expect = self._meta()
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                stored = json.load(fh).get("num_buckets")
-            if stored != self.num_buckets:
+                stored = json.load(fh)
+            bad = {k: stored.get(k) for k in expect if stored.get(k) != expect[k]}
+            if bad:
+                detail = ", ".join(
+                    f"{k}: stored={bad[k]!r} vs requested={expect[k]!r}" for k in sorted(bad)
+                )
+                hint = (
+                    "use rebucket_index() to migrate"
+                    if set(bad) <= {"num_buckets"}
+                    else "rebuild the index (or keep the original values)"
+                )
                 raise ValueError(
-                    f"index at {self.path} was written with num_buckets={stored}; "
-                    f"resuming with num_buckets={self.num_buckets} would prune "
-                    "against the wrong modulus and silently miss duplicates. "
-                    "Rewrite the index (or keep the original value)."
+                    f"index at {self.path} was written under a different config "
+                    f"({detail}); resuming would make stored keys silently "
+                    f"unmatchable and leak duplicates — {hint}."
                 )
             return
+        if self.exists():
+            raise ValueError(
+                f"index at {self.path} has data but no _index_meta.json — an "
+                "older (pre-versioning) layout. Resuming would silently ignore "
+                "the accumulated corpus; rebuild the index from the source "
+                "stream (or restore the matching metadata)."
+            )
         os.makedirs(self.path, exist_ok=True)
         from .sink import _atomic_write
 
-        _atomic_write(meta_path, {"num_buckets": self.num_buckets})
+        _atomic_write(meta_path, expect)
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> None:
+        """Offline re-bucket: rewrite every partition under the new
+        modulus and update the persisted meta atomically. The explicit
+        migration path for a long-running stream whose corpus outgrew
+        its provisioned bucket count (``_check_meta`` refuses the
+        config flip precisely because it needs this rewrite). O(index)
+        once, by design — the amortized alternative is unbounded
+        duplicate leakage or a thrown-away dedup state. Batch dirs are
+        preserved, so replay exclusion (``batch_id != current``) keeps
+        working across the migration."""
+        self._check_meta()  # refuse if the on-disk config mismatches
+        if new_num_buckets == self.num_buckets:
+            return
+        from .sink import _atomic_write
+
+        meta_path = os.path.join(self.path, "_index_meta.json")
+        if not self.exists():  # empty index → a pure metadata update
+            self.num_buckets = new_num_buckets
+            _atomic_write(meta_path, self._meta())
+            return
+        import shutil
+
+        tmp = self.path.rstrip("/") + ".__rebucket_tmp"
+        old = self.path.rstrip("/") + ".__rebucket_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (
+            spark.read.parquet(self.path)
+            .drop(self.bucket_col)
+            .withColumn(self.bucket_col, _bucket(F.col(self.key_name), new_num_buckets))
+            # one task per new bucket → ≤ new_num_buckets files per
+            # batch dir, the same write discipline as write()
+            .repartition(new_num_buckets, F.col(self.bucket_col))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", self.bucket_col)
+            .parquet(tmp)
+        )
+        # swap dirs, then meta LAST: a crash before the meta write
+        # leaves a bucket/meta mismatch that _check_meta refuses (fail
+        # loud), never a silently mispruned index
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        self.num_buckets = new_num_buckets
+        _atomic_write(meta_path, self._meta())
+        shutil.rmtree(old, ignore_errors=True)
 
     def write(self, df: DataFrame, key: Column, batch_id: int) -> None:
         self._check_meta()
@@ -168,6 +276,53 @@ class _BucketedIndex:
             (F.col("batch_id") != F.lit(exclude_batch))
             & F.col(self.bucket_col).isin([int(b) for b in buckets])
         ).drop("batch_id", self.bucket_col)
+
+
+def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list[str]:
+    """Re-bucket every ``_BucketedIndex`` table under ``path`` to a new
+    modulus — the offline migration for a stream whose corpus outgrew
+    its provisioned bucket count (the sizing rule: buckets scale with
+    the corpus so per-batch pruned reads stay O(corpus/num_buckets)).
+
+    ``path`` may be a single index table dir (has ``_index_meta.json``)
+    or a sink root (``StreamingCorpusCleaner`` /
+    ``StreamingEmbeddingDeduper`` path — every table under
+    ``state/index/`` is migrated together, so the three cleaner tables
+    never diverge). Run it with the stream STOPPED; resume with
+    ``num_buckets=new_num_buckets`` and ``_check_meta`` accepts.
+    Returns the migrated table dirs."""
+    import json
+
+    def is_table(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_index_meta.json"))
+
+    if is_table(path):
+        tables = [path]
+    else:
+        root = os.path.join(path, "state", "index")
+        if not os.path.isdir(root):
+            raise ValueError(
+                f"{path} is neither an index table (no _index_meta.json) nor a "
+                "curation sink root (no state/index/)"
+            )
+        tables = [
+            os.path.join(root, d) for d in sorted(os.listdir(root)) if is_table(os.path.join(root, d))
+        ]
+        if not tables:
+            raise ValueError(f"no index tables with _index_meta.json under {root}")
+    for t in tables:
+        with open(os.path.join(t, "_index_meta.json")) as fh:
+            meta = json.load(fh)
+        reserved = ("layout_version", "num_buckets", "bucket_col", "key_name")
+        idx = _BucketedIndex(
+            t,
+            meta["bucket_col"],
+            meta["num_buckets"],
+            meta["key_name"],
+            {k: v for k, v in meta.items() if k not in reserved},
+        )
+        idx.rebucket(spark, new_num_buckets)
+    return tables
 
 
 def _touched_buckets(df: DataFrame, key: Column, num_buckets: int) -> list[int]:
@@ -196,7 +351,7 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         num_bands: int = 2,
         ngram: int = 5,
         jaccard_threshold: float = 0.8,
-        hash_fn: str = "arrow",
+        hash_fn: str = DEFAULT_HASH_FN,
         num_buckets: int = 16,
     ):
         super().__init__(path)
@@ -221,12 +376,31 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         #: survivors. Three key-partitioned index tables so each
         #: per-batch read prunes on its own join key.
         index_root = os.path.join(path, "state", "index")
-        self._fps = _BucketedIndex(os.path.join(index_root, "fps"), "fpb", num_buckets)
-        self._bands = _BucketedIndex(os.path.join(index_root, "bands"), "bb", num_buckets)
+        # hash-family params ride into _index_meta.json: stored band
+        # hashes / verify grams are only meaningful under the SAME
+        # (hash_fn, num_hashes, num_bands, ngram) — a mismatched resume
+        # must refuse, not silently join nothing
+        hash_meta = {
+            "hash_fn": hash_fn,
+            "num_hashes": num_hashes,
+            "num_bands": num_bands,
+            "ngram": ngram,
+        }
+        self._fps = _BucketedIndex(
+            os.path.join(index_root, "fps"), "fpb", num_buckets, "fp"
+        )
+        self._bands = _BucketedIndex(
+            os.path.join(index_root, "bands"), "bb", num_buckets, "band_hash", hash_meta
+        )
         # (doc_id, text) — raw text, NOT gram arrays: grams are ~8× the
         # text size and only candidate-pair docs ever need them (they
-        # hash lazily at verify time, bounded by the candidate count)
-        self._docs = _BucketedIndex(os.path.join(index_root, "docs"), "db", num_buckets)
+        # hash lazily at verify time, bounded by the candidate count).
+        # Raw text is hash-family-independent, but verify grams derive
+        # from (hash_fn, ngram) at read time — pin them here too so a
+        # partial-config change cannot slip past one table's guard
+        self._docs = _BucketedIndex(
+            os.path.join(index_root, "docs"), "db", num_buckets, "doc_id", hash_meta
+        )
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
@@ -464,7 +638,13 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
         self.seed = seed
         self.num_buckets = num_buckets
         self._index = _BucketedIndex(
-            os.path.join(path, "state", "index"), "sb", num_buckets
+            os.path.join(path, "state", "index"),
+            "sb",
+            num_buckets,
+            "sig",
+            # stored signatures only match under the SAME hyperplane
+            # family — refuse a resume that would silently join nothing
+            {"dim": dim, "bits": bits, "seed": seed},
         )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:

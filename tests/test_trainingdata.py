@@ -520,3 +520,30 @@ def test_banding_parameter_validation(spark):
         ddp.jaccard_pairs(df, "text", "doc_id", num_hashes=4, num_bands=8)
     with _p.raises(ValueError, match="num_bands"):
         ddp.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=5, num_bands=2)
+
+
+def test_default_hash_fn_is_shared_across_minhash_api(spark):
+    """round-4 advisor: one DEFAULT_HASH_FN across with_minhash /
+    jaccard_pairs / minhash_lsh_candidates / StreamingCorpusCleaner —
+    a signature table persisted via one function's defaults must
+    band-match candidates from another's."""
+    import inspect
+
+    from dataflows_spark.functions import dedup as ddp
+    from dataflows_spark.streaming.curation import StreamingCorpusCleaner
+
+    for fn in (ddp.with_minhash, ddp.jaccard_pairs, ddp.minhash_lsh_candidates):
+        assert inspect.signature(fn).parameters["hash_fn"].default == ddp.DEFAULT_HASH_FN
+    assert (
+        inspect.signature(StreamingCorpusCleaner.__init__).parameters["hash_fn"].default
+        == ddp.DEFAULT_HASH_FN
+    )
+
+    # with_minhash default now rides the arrow kernel — identical rows
+    df = spark.createDataFrame(
+        [(1, "spark shuffles the partitions"), (2, "arrow kernels hash the grams")],
+        "doc_id long, text string",
+    )
+    a = {(r["id"], tuple(r["sig"])) for r in ddp.with_minhash(df, "text", "doc_id", 4, 5).collect()}
+    b = {(r["id"], tuple(r["sig"])) for r in ddp.with_minhash_arrow(df, "text", "doc_id", 4, 5).collect()}
+    assert a == b
