@@ -492,8 +492,13 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force O(n²) cosine pairs — the correctness BASELINE for the
-    LSH-bucketed gate above (fixture-scale only; never the scale path)."""
-    emb = spark.read.parquet(_t(sf, "embeddings"))
+    LSH-bucketed gate above (fixture-scale only; never the scale path).
+    Input capped at vec_id < 600 (mirrored in the oracle): golden
+    correctness evidence wants a tiny input, not a scale demo — the
+    uncapped cross join was ~91 s at sf0.1 and starved the driver's
+    sweep budget (reference analog: the golden-semantics tests run on
+    tiny fixtures, tests/test_lib.py)."""
+    emb = spark.read.parquet(_t(sf, "embeddings")).filter(F.col("vec_id") < 600)
     return (
         ddp.embedding_neardup_pairs(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")), "embedding", "vec_id", threshold=0.4)
         .select("id_a", "id_b")
@@ -1595,7 +1600,11 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {_cos_sql('a.v', 'b.v')} >= 0.99"
     )
     sql["embedding_neardup_exact"] = (
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        # vec_id < 600 cap mirrors the Spark query: brute force is the
+        # tiny-fixture correctness baseline, never a scale demo
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
+        "(SELECT * FROM embeddings WHERE vec_id < 600) a JOIN "
+        "(SELECT * FROM embeddings WHERE vec_id < 600) b ON a.vec_id < b.vec_id "
         "WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"

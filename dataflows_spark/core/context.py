@@ -121,6 +121,12 @@ def build_session(
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-rewritten lines to stderr;
+        # when a harness merges streams (2>&1) those fragments glue onto
+        # stdout result lines and line-oriented parsers drop them — the
+        # round-4 correctness artifact lost 6 of 56 entries exactly this
+        # way. Machine-read output must stay clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

@@ -265,6 +265,46 @@ class _BucketedIndex:
             .parquet(os.path.join(self.path, f"batch_id={batch_id}"))
         )
 
+    def pruned_bytes(self, buckets: list[int], exclude_batch: int) -> tuple[int, int]:
+        """(bytes a pruned read touches, total index bytes) measured at
+        the FILESYSTEM level — the direct bucket-pruning-effectiveness
+        number, independent of Spark's own metrics. Listing cost is
+        bounded by batches × num_buckets entries (the same bound as the
+        read itself; at 100× Iceberg manifests carry these sums).
+        NOTE the regime: pruning to touched buckets only shrinks the
+        read when the batch's distinct keys ≪ num_buckets — a batch
+        with ≥ num_buckets keys touches every bucket and reads the
+        whole (pre-batch) index; the lever at that point is growing
+        num_buckets with the corpus (see the sizing rule)."""
+        want = {int(b) for b in buckets}
+        read = total = 0
+        if not os.path.isdir(self.path):
+            return 0, 0
+        for e in os.listdir(self.path):
+            if not e.startswith("batch_id="):
+                continue
+            try:
+                bid = int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            bdir = os.path.join(self.path, e)
+            for sub in os.listdir(bdir):
+                if not sub.startswith(f"{self.bucket_col}="):
+                    continue
+                try:
+                    bucket = int(sub.split("=", 1)[1])
+                except ValueError:
+                    continue
+                sz = sum(
+                    os.path.getsize(os.path.join(bdir, sub, f))
+                    for f in os.listdir(os.path.join(bdir, sub))
+                    if os.path.isfile(os.path.join(bdir, sub, f))
+                )
+                total += sz
+                if bid != exclude_batch and bucket in want:
+                    read += sz
+        return read, total
+
     def read_pruned(self, spark: SparkSession, buckets: list[int], exclude_batch: int) -> DataFrame:
         """Partition-pruned read: only ``buckets``, never the current
         batch's own dir. Both predicates are pure partition-column
@@ -401,6 +441,11 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         self._docs = _BucketedIndex(
             os.path.join(index_root, "docs"), "db", num_buckets, "doc_id", hash_meta
         )
+        #: per-committed-batch observability (driver-side, appended by
+        #: write_batch): index bytes the pruned reads touched vs the
+        #: whole index — the direct pruning-effectiveness series the
+        #: long-horizon bench records
+        self.batch_metrics: list[dict] = []
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
@@ -470,12 +515,16 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            m = {"batch_id": batch_id, "index_read_bytes": 0, "index_total_bytes": 0}
             have_index = self._bands.exists()
             if have_index:
                 # ...then against every fingerprint already seen —
                 # pruned to the batch's own fp buckets
                 fp_buckets = _touched_buckets(batch_docs, F.col("fp"), self.num_buckets)
                 if fp_buckets:
+                    rb, tb = self._fps.pruned_bytes(fp_buckets, batch_id)
+                    m["index_read_bytes"] += rb
+                    m["index_total_bytes"] += tb
                     seen_fps = self._fps.read_pruned(spark, fp_buckets, batch_id)
                     batch_docs = batch_docs.join(
                         seen_fps.select("fp").distinct(), on="fp", how="left_anti"
@@ -526,6 +575,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 # read pruned to the batch's own band-hash buckets.
                 band_buckets = _touched_buckets(new_b, F.col("band_hash"), self.num_buckets)
                 if band_buckets:
+                    rb, tb = self._bands.pruned_bytes(band_buckets, batch_id)
+                    m["index_read_bytes"] += rb
+                    m["index_total_bytes"] += tb
                     seen_bands = self._bands.read_pruned(spark, band_buckets, batch_id).select(
                         F.col("doc_id").alias("id_a"), "band", "band_hash"
                     )
@@ -556,6 +608,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             if cross is not None:
                 doc_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)
                 if doc_buckets:
+                    rb, tb = self._docs.pruned_bytes(doc_buckets, batch_id)
+                    m["index_read_bytes"] += rb
+                    m["index_total_bytes"] += tb
                     seen_docs = self._docs.read_pruned(spark, doc_buckets, batch_id)
                     index_lut = self._gram_lut(
                         seen_docs, cross.select(F.col("id_a").alias("doc_id"))
@@ -581,6 +636,7 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             from .sink import _atomic_write
 
             _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})
+            self.batch_metrics.append(m)
             batch_docs.unpersist()
         finally:
             enriched.unpersist()
@@ -646,6 +702,8 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             # family — refuse a resume that would silently join nothing
             {"dim": dim, "bits": bits, "seed": seed},
         )
+        #: same pruning-effectiveness series as StreamingCorpusCleaner
+        self.batch_metrics: list[dict] = []
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         from ..functions.similarity import cosine_sim, lsh_signature
@@ -679,6 +737,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                 .filter(F.col("id_a") < F.col("id_b"))
             )
             drops = verified_drops(within)
+            m = {"batch_id": batch_id, "index_read_bytes": 0, "index_total_bytes": 0}
             if self._index.exists():
                 # cross-index pairs: the batch side (id_b) drops on a
                 # verified match with NO id ordering — an index-vs-batch
@@ -687,6 +746,9 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                 # advisor's out-of-order duplicate leak)
                 sig_buckets = _touched_buckets(enriched, F.col("sig"), self.num_buckets)
                 if sig_buckets:
+                    rb, tb = self._index.pruned_bytes(sig_buckets, batch_id)
+                    m["index_read_bytes"] += rb
+                    m["index_total_bytes"] += tb
                     # the sig equi-join exchanges NARROW (id, sig) rows
                     # on the index side; index vectors re-attach by id
                     # only for the verify (the lsh_neardup_pairs shuffle
@@ -711,6 +773,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             from .sink import _atomic_write
 
             _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})
+            self.batch_metrics.append(m)
         finally:
             enriched.unpersist()
 

@@ -15,6 +15,12 @@ import time
 
 import duckdb
 
+# a budget-killed sweep must not lose its tail to block buffering, and
+# per-query lines should land as soon as the query finishes (the r4
+# driver artifact lost exactly the trailing entries of a long sweep)
+import functools
+print = functools.partial(print, flush=True)  # noqa: A001
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402

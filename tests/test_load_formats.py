@@ -559,9 +559,9 @@ def test_gsheet_rewrite_with_pinned_csv_format(spark, tmp_path):
         load_mod = _sys.modules["dataflows_spark.operators.load"]
         orig = load_mod._gsheet_export_url
 
-        def fake(url, force=False):
+        def fake(url, force=False, sheet=None):
             # stand in for the docs.google.com host match on localhost
-            return orig(url, force=True)
+            return orig(url, force=True, sheet=sheet)
 
         load_mod._gsheet_export_url = fake
         try:
