@@ -833,6 +833,26 @@ def q_load_ods(spark: SparkSession, sf: str) -> DataFrame:
     return pkg["nation"]
 
 
+def q_load_xls(spark: SparkSession, sf: str) -> DataFrame:
+    """The legacy .xls (BIFF8) load path end-to-end: the nation table
+    is exported to a real OLE2+BIFF8 file (stdlib writer — CFB
+    mini-stream, SST strings), loaded back through ``load`` (stdlib
+    MS-CFB/MS-XLS parser, typed columns — reference tabulator .xls
+    support via xlrd, cli.py:12), and must match the parquet source
+    row-exactly. Driver-side interchange format by construction
+    (documented in sources/xls.py)."""
+    import tempfile
+
+    from dataflows_spark.sources.xls import write_xls
+
+    src = spark.read.parquet(_t(sf, "nation")).select("n_nationkey", "n_name", "n_regionkey")
+    rows = [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in src.collect()]
+    path = os.path.join(tempfile.mkdtemp(prefix="dfs_xls_gate_"), "nation.xls")
+    write_xls(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
+    pkg = Flow(load(path, name="nation")).dataframes(spark)
+    return pkg["nation"]
+
+
 def q_validate_recast(spark: SparkSession, sf: str) -> DataFrame:
     """validate() with NO args = re-cast all fields against the declared
     schema (reference validate.py:8-61 via schema_validator); failing
@@ -1089,6 +1109,7 @@ _QUERIES = {
         "array_agg_ordered": q_array_agg_ordered,
         "extract_missing": q_extract_missing,
         "load_ods": q_load_ods,
+        "load_xls": q_load_xls,
         "sql_roundtrip": q_sql_roundtrip,
         "validate_quarantine": q_validate_quarantine,
         "zip_roundtrip": q_zip_roundtrip,
@@ -1319,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["validate_drop"] = "SELECT * FROM supplier WHERE s_acctbal > 0"
     sql["load_ods"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    sql["load_xls"] = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     sql["sql_roundtrip"] = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
     sql["validate_quarantine"] = (
         "SELECT CASE WHEN s_acctbal > 0 THEN 'kept' ELSE 'invalid' END AS bucket, "

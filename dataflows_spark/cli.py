@@ -25,7 +25,7 @@ import re
 import subprocess
 import sys
 
-FORMATS = ["csv", "tsv", "json", "ndjson", "parquet", "orc", "xlsx", "ods", "gsheet", "xml", "geojson"]
+FORMATS = ["csv", "tsv", "json", "ndjson", "parquet", "orc", "xlsx", "xls", "ods", "gsheet", "xml", "geojson"]
 
 #: reference PROCESSING menu (cli.py:19-27) → this engine's operators
 PROCESSING = {
@@ -75,7 +75,7 @@ def render(answers: dict) -> str:
         load_args = [repr(answers.get("input_url")), f"dbtable={answers.get('input_db_table')!r}"]
     elif fmt:
         load_args.append(f"format={fmt!r}")
-        if fmt in ("xlsx", "ods") and answers.get("sheet"):
+        if fmt in ("xlsx", "xls", "ods") and answers.get("sheet"):
             load_args.append(f"sheet={answers.get('sheet')!r}")
     stages = [f"        load({', '.join(load_args)}, name={slug!r}),"]
 

@@ -43,6 +43,7 @@ _EXT_FORMAT = {
     ".orc": "orc",
     ".txt": "text",
     ".xlsx": "xlsx",
+    ".xls": "xls",
     ".ods": "ods",
     ".xml": "xml",
     ".geojson": "geojson",
@@ -170,7 +171,8 @@ def _fetch_to_temp(url: str, format_hint: str | None = None) -> str:
 class load(Stage):
     """Load a table as a new resource.
 
-    ``source`` is a path (csv/json/parquet/orc/xlsx/ods by extension),
+    ``source`` is a path (csv/json/parquet/orc/xlsx/xls/ods by
+    extension),
     an ``http(s)://`` URL (fetched to a temp file — reference tabulator
     remote-source support; Google-Sheets UI URLs rewrite onto the CSV
     export endpoint, ``format='gsheet'`` forces the rewrite for
@@ -257,6 +259,10 @@ class load(Stage):
             from ..sources.xlsx import xlsx_to_dataframe
 
             return xlsx_to_dataframe(ctx.spark, source, self.sheet if self.sheet is not None else 1)
+        if fmt == "xls":
+            from ..sources.xls import xls_to_dataframe
+
+            return xls_to_dataframe(ctx.spark, source, self.sheet if self.sheet is not None else 1)
         if fmt == "ods":
             from ..sources.ods import ods_to_dataframe
 

@@ -760,3 +760,134 @@ def test_gsheet_sheet_selection_via_fixture_server(spark, tmp_path):
         assert [(r["a"], r["b"]) for r in rows] == [(1, "x")]
     finally:
         srv.shutdown()
+
+
+def test_xls_roundtrip_types(spark, tmp_path):
+    """Legacy .xls (BIFF8): write with the stdlib CFB+BIFF writer, load
+    back through the Flow load stage — typed columns, same contract as
+    xlsx/ods (reference tabulator .xls support via xlrd, cli.py:12)."""
+    from dataflows_spark import Flow
+    from dataflows_spark.operators.load import load
+    from dataflows_spark.sources.xls import write_xls
+
+    p = str(tmp_path / "t.xls")
+    write_xls(
+        p,
+        ["name", "n", "f", "b", "note"],
+        [
+            ["alice", 1, 1.5, True, None],
+            ["bob", 2, -2.25, False, "x"],
+            ["čžß", 3, 100.25, True, "ünïcode"],
+        ],
+    )
+    pkg = Flow(load(p, name="t")).dataframes(spark)
+    df = pkg["t"]
+    assert dict(df.dtypes) == {"name": "string", "n": "bigint", "f": "double", "b": "boolean", "note": "string"}
+    rows = sorted(df.collect(), key=lambda r: r["n"])
+    assert [tuple(r) for r in rows] == [
+        ("alice", 1, 1.5, True, None),
+        ("bob", 2, -2.25, False, "x"),
+        ("čžß", 3, 100.25, True, "ünïcode"),
+    ]
+
+
+def test_xls_big_file_and_sst_continue(tmp_path):
+    """>4096-byte workbook stream exercises the regular-FAT CFB path;
+    3000 distinct strings split the SST across CONTINUE records at the
+    8224-byte BIFF limit."""
+    from dataflows_spark.sources.xls import read_xls, write_xls
+
+    p = str(tmp_path / "big.xls")
+    rows = [[f"string-value-{i:05d}", i] for i in range(3000)]
+    write_xls(p, ["s", "n"], rows)
+    import os as _os
+
+    assert _os.path.getsize(p) > 100_000  # regular-FAT territory
+    h, r = read_xls(p)
+    assert h == ["s", "n"] and len(r) == 3000
+    assert r[0] == ["string-value-00000", 0]
+    assert r[2999] == ["string-value-02999", 2999]
+
+    # sheet by name (same contract as xlsx/ods)
+    p2 = str(tmp_path / "named.xls")
+    write_xls(p2, ["a"], [[1], [2]], sheet_name="data")
+    h, r = read_xls(p2, sheet="data")
+    assert h == ["a"] and [x[0] for x in r] == [1, 2]
+
+
+def test_xls_crafted_records(tmp_path):
+    """Record paths the minimal writer never emits, from hand-crafted
+    BIFF8 bytes: RK (int / ÷100 / truncated-double encodings), MULRK,
+    inline LABEL, FORMULA with cached numeric + string (STRING record)
+    results, and an SST string split MID-character-data across a
+    CONTINUE boundary (per-continuation compression flag)."""
+    import struct
+
+    from dataflows_spark.sources.xls import _parse_workbook, _rec
+
+    def rk_int(v):
+        return (v << 2) | 2
+
+    def rk_int_div100(v):
+        return (v << 2) | 3
+
+    def rk_float(f):
+        q = struct.unpack("<Q", struct.pack("<d", f))[0]
+        return (q >> 32) & 0xFFFFFFFC
+
+    g = bytearray()
+    g += _rec(0x0809, struct.pack("<HHHHIH", 0x0600, 0x0005, 0, 0, 0, 0))
+    s = "HELLOWORLD"
+    chunk1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 10, 0x01) + s[:4].encode("utf-16-le")
+    chunk2 = b"\x01" + s[4:].encode("utf-16-le")  # grbit restarts per CONTINUE
+    g += _rec(0x00FC, bytes(chunk1)) + _rec(0x003C, chunk2)
+    bs_at = len(g)
+    g += _rec(0x0085, struct.pack("<IBBB", 0, 0, 0, 2) + b"\x01" + "S1".encode("utf-16-le"))
+    g += _rec(0x000A, b"")
+    struct.pack_into("<I", g, bs_at + 4, len(g))
+    sh = bytearray()
+    sh += _rec(0x0809, struct.pack("<HHHHIH", 0x0600, 0x0010, 0, 0, 0, 0))
+    sh += _rec(0x00FD, struct.pack("<HHHI", 0, 0, 15, 0))
+    sh += _rec(0x027E, struct.pack("<HHHI", 0, 1, 15, rk_int(42)))
+    sh += _rec(0x027E, struct.pack("<HHHI", 0, 2, 15, rk_int_div100(12345)))
+    sh += _rec(0x027E, struct.pack("<HHHI", 0, 3, 15, rk_float(2.5)))
+    mul = (
+        struct.pack("<HH", 1, 0)
+        + b"".join(struct.pack("<HI", 15, rk_int(v)) for v in (7, 8, 9))
+        + struct.pack("<H", 2)
+    )
+    sh += _rec(0x00BD, bytes(mul))
+    sh += _rec(0x0204, struct.pack("<HHHH", 1, 3, 15, 3) + b"\x00" + b"abc")
+    sh += _rec(
+        0x0006,
+        struct.pack("<HHH", 2, 0, 15) + b"\x00\x00\x00\x00\x00\x00\xff\xff" + struct.pack("<HI", 0, 0),
+    )
+    sh += _rec(0x0207, struct.pack("<H", 4) + b"\x00" + b"calc")
+    sh += _rec(0x0006, struct.pack("<HHH", 2, 1, 15) + struct.pack("<d", 9.75) + struct.pack("<HI", 0, 0))
+    sh += _rec(0x000A, b"")
+    names, cells = _parse_workbook(bytes(g) + bytes(sh))
+    assert names == ["S1"]
+    assert cells["S1"] == {
+        (0, 0): "HELLOWORLD",
+        (0, 1): 42,
+        (0, 2): 123.45,
+        (0, 3): 2.5,
+        (1, 0): 7,
+        (1, 1): 8,
+        (1, 2): 9,
+        (1, 3): "abc",
+        (2, 0): "calc",
+        (2, 1): 9.75,
+    }
+
+
+def test_xls_not_ole2_raises(tmp_path):
+    import pytest as _p
+
+    from dataflows_spark.sources.xls import read_xls
+
+    p = str(tmp_path / "fake.xls")
+    with open(p, "wb") as fh:
+        fh.write(b"a,b\n1,2\n")
+    with _p.raises(ValueError, match="OLE2"):
+        read_xls(p)
