@@ -127,6 +127,12 @@ def build_session(
         # round-4 correctness artifact lost 6 of 56 entries exactly this
         # way. Machine-read output must stay clean.
         .config("spark.ui.showConsoleProgress", "false")
+        # push In filters with up to 1024 values down to parquet
+        # row-group stats (default threshold 10 degrades bigger lists
+        # to a useless min/max range) — the streaming curation tier's
+        # candidate-id lookups depend on this to keep per-batch
+        # doc-text IO O(candidates) instead of O(corpus)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

@@ -483,14 +483,39 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             g, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
         )
 
+    #: candidate-id lists at or under this size are collected and pushed
+    #: into the scan as an In filter (see _gram_lut); above it, the
+    #: semi-join fallback. Must stay ≤ the session's parquet
+    #: inFilterThreshold or Spark degrades the pushdown to a min/max
+    #: range, which skips nothing for scattered ids.
+    _LUT_PUSHDOWN_CAP = 1000
+
     def _gram_lut(self, docs: DataFrame, ids: DataFrame) -> DataFrame:
         """(doc_id, grams) for ONLY the ids present in candidate pairs —
-        gram generation cost is O(candidates), not O(batch)/O(corpus)."""
-        return (
-            docs.select("doc_id", "text")
-            .join(ids.distinct(), on="doc_id", how="left_semi")
-            .select("doc_id", self._ghash(F.col("text")).alias("grams"))
-        )
+        gram generation cost is O(candidates), not O(batch)/O(corpus).
+
+        IO discipline: banding keeps candidate sets small (measured
+        10-40 distinct ids per 5k-doc batch on the sf1 corpus), but the
+        doc-TEXT index is the fat table, and a hash-bucketed id set of
+        even ~30 ids touches most buckets — so bucket pruning alone
+        still scans ~the whole text corpus per batch (the 24-batch
+        read-bytes series showed exactly that linear growth). Each
+        index id lives in exactly ONE file of one batch dir, so a
+        collected id list pushed as an ``In`` scan filter lets parquet
+        row-group stats skip every file holding no candidate: doc-text
+        IO becomes O(candidates) regardless of corpus size. The collect
+        is bounded by ``_LUT_PUSHDOWN_CAP`` (a driver list of ≤1000
+        longs); bigger candidate sets fall back to the left-semi
+        join."""
+        id_rows = [
+            r[0] for r in ids.distinct().limit(self._LUT_PUSHDOWN_CAP + 1).collect()
+        ]
+        sel = docs.select("doc_id", "text")
+        if len(id_rows) <= self._LUT_PUSHDOWN_CAP:
+            sel = sel.filter(F.col("doc_id").isin(id_rows))
+        else:
+            sel = sel.join(ids.distinct(), on="doc_id", how="left_semi")
+        return sel.select("doc_id", self._ghash(F.col("text")).alias("grams"))
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -755,14 +780,31 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                     # discipline). The batch side keeps its vectors
                     # inline — it is one micro-batch, broadcast-sized.
                     seen = self._index.read_pruned(spark, sig_buckets, batch_id)
+                    # lazy on purpose: the sig join reads only the
+                    # narrow (id, sig) index columns, so recomputing it
+                    # for the id-collect AND the cross join is cheaper
+                    # than materializing it (localCheckpoint measured
+                    # ~+0.9 s/batch at 5k-vector batches)
                     cand = seen.select(F.col("id").alias("id_a"), "sig").join(
                         enriched.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig"),
                         on="sig",
                     )
-                    cross = cand.join(
-                        seen.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
-                        on="id_a",
-                    )
+                    # vectors re-attach for ONLY the candidate ids: sig
+                    # collisions are rare (bits sized to the corpus), so
+                    # the id list is tiny — pushed as an In scan filter,
+                    # parquet row-group stats skip every index file with
+                    # no candidate and the fat vector column's per-batch
+                    # IO stays O(candidates), not O(touched index). The
+                    # same discipline (and cap) as the cleaner's
+                    # _gram_lut doc-text lookup.
+                    cap = StreamingCorpusCleaner._LUT_PUSHDOWN_CAP
+                    cand_ids = [
+                        r[0] for r in cand.select("id_a").distinct().limit(cap + 1).collect()
+                    ]
+                    vecs = seen.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+                    if len(cand_ids) <= cap:
+                        vecs = vecs.filter(F.col("id_a").isin(cand_ids))
+                    cross = cand.join(vecs, on="id_a")
                     drops = drops.unionByName(verified_drops(cross))
             survivors = enriched.join(drops.distinct(), on="id", how="left_anti")
             target = os.path.join(self.data_dir, f"batch_id={batch_id}")

@@ -695,3 +695,33 @@ def test_streaming_index_rejects_hash_family_change(spark, tmp_path):
     os.remove(meta)
     with _p.raises(ValueError, match="no _index_meta.json"):
         StreamingCorpusCleaner(out, num_buckets=8)(docs.limit(5), 2)
+
+
+def test_streaming_gram_lut_pushes_candidate_ids_to_scan(spark, tmp_path):
+    """The candidate-id gram lookup must reach the doc-text index scan
+    as a pushed In filter (row-group skip — per-batch doc-text IO stays
+    O(candidates), not O(corpus)); the semi-join fallback engages past
+    the pushdown cap."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "lut_out")
+    c = StreamingCorpusCleaner(out, num_buckets=8)
+    c(docs.filter(F.col("doc_id") < 300), 0)
+    seen = c._docs.read_pruned(spark, list(range(8)), 1)
+    ids = spark.createDataFrame([(5,), (17,), (123,)], "doc_id bigint")
+    lut = c._gram_lut(seen, ids)
+    plan = lut._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan
+    assert lut.count() == 3
+
+    # past the cap → semi-join (no giant literal list in the plan)
+    c._LUT_PUSHDOWN_CAP = 2
+    lut2 = c._gram_lut(seen, ids)
+    assert "In(doc_id" not in lut2._jdf.queryExecution().executedPlan().toString()
+    assert lut2.count() == 3
+
+    # empty candidate set → empty result, no error
+    assert c._gram_lut(seen, ids.limit(0)).count() == 0
