@@ -678,7 +678,7 @@ def run_streaming_curation_tier(n_batches: int = 24) -> dict:
         docs,
         "doc_id",
         "doc_id bigint, text string",
-        lambda p: StreamingCorpusCleaner(p, num_buckets=32),
+        lambda p: StreamingCorpusCleaner(p, num_buckets=32, collect_metrics=True),
         "corpus",
     )
     # bits sizes the LSH bucket count to the CORPUS: candidate-verify
@@ -691,7 +691,9 @@ def run_streaming_curation_tier(n_batches: int = 24) -> dict:
         emb,
         "vec_id",
         "vec_id bigint, embedding array<float>",
-        lambda p: StreamingEmbeddingDeduper(p, threshold=0.99, dim=64, bits=16, num_buckets=32),
+        lambda p: StreamingEmbeddingDeduper(
+            p, threshold=0.99, dim=64, bits=16, num_buckets=32, collect_metrics=True
+        ),
         "embedding",
     )
     spark.stop()

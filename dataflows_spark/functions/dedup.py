@@ -24,13 +24,23 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-#: One default hash family across the whole MinHash API surface
+#: ONE default signature family across the whole MinHash API surface
 #: (``with_minhash``, ``jaccard_pairs``, ``minhash_lsh_candidates``,
-#: ``StreamingCorpusCleaner``): signatures from one function's default
-#: always band-match candidates from another's. 'arrow' is the
+#: ``StreamingCorpusCleaner``): hash function AND signature shape
+#: (width, band count, shingle size) — matching ALL FOUR is what makes
+#: signatures persisted under one function's defaults band-match
+#: candidates from another's (a differing width or gram size silently
+#: joins nothing, same as a differing hash family). 'arrow' is the
 #: vectorized-numpy production path; pass 'md5' explicitly when a
 #: DuckDB oracle must mirror the signature values bit-for-bit.
+#: K=4 / 2 bands / 5-grams is the production-proven combo: 5-gram
+#: shingles keep shared-vocabulary corpora from flooding the banding
+#: (3-grams collide across unrelated docs), r=2 rows/band puts the
+#: collision curve at P=1-(1-s^2)^2.
 DEFAULT_HASH_FN = "arrow"
+DEFAULT_NUM_HASHES = 4
+DEFAULT_NUM_BANDS = 2
+DEFAULT_NGRAM = 5
 
 
 def char_ngrams(col, n: int = 3) -> Column:
@@ -131,7 +141,7 @@ def minhash_sig_expr(grams_col: Column, num_hashes: int, hash_fn: str = "md5") -
     return F.array(*[minhash_hash(grams_col, i) for i in range(num_hashes)])
 
 
-def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, ngram: int = 3, partitions: int | None = None, hash_fn: str = DEFAULT_HASH_FN) -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES, ngram: int = DEFAULT_NGRAM, partitions: int | None = None, hash_fn: str = DEFAULT_HASH_FN) -> DataFrame:
     """(id, sig) with the grams column materialized once — the scale
     path. Repartitions first: small single-file sources otherwise run
     the whole signature computation in one task.
@@ -361,9 +371,9 @@ def jaccard_pairs(
     threshold: float = 0.8,
     ngram: int = 3,
     length_band: int = 16,
-    num_hashes: int = 4,
-    num_bands: int = 2,
-    sig_ngram: int = 5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    sig_ngram: int = DEFAULT_NGRAM,
     materialize: bool = True,
     hash_fn: str = DEFAULT_HASH_FN,
 ) -> DataFrame:
@@ -494,9 +504,9 @@ def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 16,
-    num_bands: int = 4,
-    ngram: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    ngram: int = DEFAULT_NGRAM,
     materialize: bool = False,
     hash_fn: str = DEFAULT_HASH_FN,
 ) -> DataFrame:

@@ -79,14 +79,24 @@ def _gsheet_export_url(url: str, force: bool = False, sheet=None) -> str | None:
     if m:
         gid = m.group(1)
     sheet_name = None
+    explicit_gid = False
     if sheet is not None:
         if isinstance(sheet, str) and not sheet.isdigit():
             sheet_name = sheet
         else:
             gid = str(int(sheet))  # explicit selection wins over the URL's
+            explicit_gid = True
 
     def with_param(u: str, param: str) -> str:
         return u + ("&" if "?" in u else "?") + param
+
+    def apply_gid(u: str, param: str) -> str:
+        """Carry the worksheet gid into the query: REPLACE an existing
+        query gid when sheet= was explicit (the URL's own selection
+        must not silently win), append otherwise."""
+        if re.search(r"[?&]gid=\d+", u):
+            return re.sub(r"([?&]gid=)\d+", rf"\g<1>{gid}", u) if explicit_gid else u
+        return with_param(u, param)
 
     if re.search(r"/export\b", url):
         if sheet_name is not None:
@@ -94,8 +104,8 @@ def _gsheet_export_url(url: str, force: bool = False, sheet=None) -> str | None:
                 "Google-Sheets /export endpoints address worksheets by gid, not "
                 f"name ({sheet_name!r}); pass sheet=<gid> or a UI /d/<id> link"
             )
-        if gid is not None and not re.search(r"[?&]gid=\d+", url):
-            url = with_param(url, f"gid={gid}")
+        if gid is not None:
+            url = apply_gid(url, f"gid={gid}")
         return url
     # the standard 'Publish to web' HTML link (…/d/e/2PACX-…/pubhtml):
     # its 2PACX token is NOT a document id, so the /export rewrite would
@@ -111,8 +121,8 @@ def _gsheet_export_url(url: str, force: bool = False, sheet=None) -> str | None:
                 "published Google-Sheets links (/pub) address worksheets by gid, "
                 f"not name ({sheet_name!r}); pass sheet=<gid>"
             )
-        if gid is not None and not re.search(r"[?&]gid=\d+", url):
-            url = with_param(url, f"gid={gid}&single=true")
+        if gid is not None:
+            url = apply_gid(url, f"gid={gid}&single=true")
         if "output=" not in url.split("?", 1)[-1]:
             url = with_param(url, "output=csv")
         return url

@@ -34,6 +34,11 @@ _TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 # ODS sheet row maximum instead (positions must stay exact).
 _MAX_REPEAT = 10_000
 _ODS_MAX_ROWS = 1_048_576  # the ODS 1.2 sheet row limit
+# driver-side materialization ceiling (rows × width cells after
+# padding): interior blank runs and repeats expand EXACTLY for
+# positional correctness, so the memory guard lives on the product —
+# a crafted 1M-blank-run × 16384-wide sheet must fail loud, not OOM
+_MAX_CELLS = 20_000_000
 
 
 def _cell_value(cell):
@@ -113,13 +118,21 @@ def read_ods(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
             rows.extend([list(out)] * rrep)
         else:
             # blank row(s): replicate only if a non-blank row follows —
-            # deferred, so trailing filler costs nothing; interior runs
-            # keep exact positions (bounded by the ODS sheet row
-            # maximum, not _MAX_REPEAT)
-            pending_rows += min(rrep, _ODS_MAX_ROWS)
+            # deferred (an int, no memory), so trailing filler of any
+            # size costs nothing; interior runs expand as cheap empty
+            # lists, and the total rows × width product is guarded by
+            # the _MAX_CELLS ceiling before padding
+            pending_rows = min(pending_rows + rrep, _ODS_MAX_ROWS)
     if not rows:
         return [], []
     width = max(len(r) for r in rows)
+    if len(rows) * max(width, 1) > _MAX_CELLS:
+        raise ValueError(
+            f"ODS sheet materializes {len(rows)} rows x {width} columns = "
+            f"{len(rows) * width} cells, over the driver-side ceiling "
+            f"({_MAX_CELLS}) — .ods is an interchange format; use csv/parquet "
+            "for data this large (or raise dataflows_spark.sources.ods._MAX_CELLS)"
+        )
     rows = [r + [None] * (width - len(r)) for r in rows]
     header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
     return header, rows[1:]

@@ -66,7 +66,10 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
     n_difat = struct.unpack_from("<I", data, 72)[0]
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # sector 0 starts after one HEADER-SIZED slot: 512 bytes in a
+        # v3 file (ssz=512) but a full 4096-byte sector in a v4 file —
+        # (i+1)*ssz covers both (MS-CFB §2.2)
+        off = (i + 1) * ssz
         return data[off : off + ssz]
 
     difat = list(struct.unpack_from("<109i", data, 76))
@@ -380,18 +383,41 @@ def _rec(op: int, data: bytes) -> bytes:
 
 
 def _sst_records(strings: list[str]) -> bytes:
-    """SST split at the BIFF record limit (string boundaries only)."""
+    """SST split at the BIFF record limit. Whole strings pack
+    back-to-back until a record fills; a string that cannot fit whole
+    splits MID-character-data across CONTINUE records, each
+    continuation restarting with its compression-flag byte (MS-XLS
+    XLUnicodeRichExtendedString continuation rule — the same rule the
+    reader implements). Cell text past the Excel 32,767-char limit
+    raises (a silent u16 wrap would corrupt the record)."""
     head = struct.pack("<II", len(strings), len(strings))
-    chunks: list[bytes] = [head]
+    chunks: list[bytearray] = [bytearray(head)]
+
+    def room() -> int:
+        return _MAX_RECORD - len(chunks[-1])
+
     for s in strings:
+        if len(s) > 32767:
+            raise ValueError(
+                f"cell string of {len(s)} chars exceeds the .xls per-cell limit "
+                "(32767); use csv/parquet for long documents"
+            )
+        # a fresh string needs its 3-byte header plus at least one
+        # whole utf-16 code unit in the current record
+        if room() < 5:
+            chunks.append(bytearray())
+        chunks[-1] += struct.pack("<HB", len(s), 0x01)
         enc = s.encode("utf-16-le")
-        item = struct.pack("<HB", len(s), 0x01) + enc
-        if len(chunks[-1]) + len(item) > _MAX_RECORD:
-            chunks.append(b"")
-        chunks[-1] += item
-    out = _rec(0x00FC, chunks[0])
+        pos = 0
+        while pos < len(enc):
+            if room() < 2:
+                chunks.append(bytearray(b"\x01"))  # continuation grbit
+            take = min(len(enc) - pos, room() - (room() % 2))
+            chunks[-1] += enc[pos : pos + take]
+            pos += take
+    out = _rec(0x00FC, bytes(chunks[0]))
     for c in chunks[1:]:
-        out += _rec(0x003C, c)
+        out += _rec(0x003C, bytes(c))
     return out
 
 
@@ -452,18 +478,23 @@ def _cfb_write(streams: dict[str, bytes]) -> bytes:
     small = {n: d for n, d in streams.items() if len(d) < cutoff}
     big = {n: d for n, d in streams.items() if len(d) >= cutoff}
 
-    # mini stream: concatenation of 64-byte-padded small streams
+    # mini stream: concatenation of 64-byte-padded small streams.
+    # Zero-length streams occupy NO mini sectors and get NO miniFAT
+    # entries (an entry for an unoccupied sector would shift every
+    # later stream's chain off its sector numbers); their directory
+    # entries carry start=ENDOFCHAIN, size=0.
     mini = bytearray()
     mini_start: dict[str, int] = {}
+    minifat: list[int] = []
     for n, d in small.items():
-        mini_start[n] = len(mini) // msz
+        if not d:
+            continue
+        first = len(mini) // msz
+        mini_start[n] = first
         mini += pad(d, msz)
-    n_mini = len(mini) // msz
-    minifat = []
-    for n, d in small.items():
-        first = mini_start[n]
-        cnt = (len(d) + msz - 1) // msz or 1
+        cnt = (len(d) + msz - 1) // msz
         minifat.extend(list(range(first + 1, first + cnt)) + [_ENDOFCHAIN])
+    n_mini = len(mini) // msz
     minifat_bytes = pad(b"".join(struct.pack("<i", v) for v in minifat), ssz) if n_mini else b""
 
     # directory: root + one entry per stream, padded to sector
@@ -506,17 +537,25 @@ def _cfb_write(streams: dict[str, bytes]) -> bytes:
         cur += len(big_padded[n]) // ssz
     fat_first = cur
 
+    # directory entries in CFB sibling order (name length, then
+    # uppercase name), linked as a degenerate-but-valid red-black tree:
+    # root's child is the first entry and each sibling's `right` points
+    # at the next — every stream stays reachable for conformant
+    # tree-walking readers (olefile, Excel), not just linear scanners
+    ordered = sorted(names, key=lambda n: (len(n), n.upper()))
     entries = [
         dir_entry(
             "Root Entry", 5, ministream_first if n_ministream_sects else _ENDOFCHAIN,
-            len(mini), child=1 if names else -1,
+            len(mini), child=1 if ordered else -1,
         )
     ]
-    for n in names:
+    for i, n in enumerate(ordered):
+        right = i + 2 if i + 1 < len(ordered) else -1
         if n in small:
-            entries.append(dir_entry(n, 2, mini_start[n] if len(small[n]) else _ENDOFCHAIN, len(small[n])))
+            start = mini_start[n] if small[n] else _ENDOFCHAIN
+            entries.append(dir_entry(n, 2, start, len(small[n]), right=right))
         else:
-            entries.append(dir_entry(n, 2, big_first[n], len(big[n])))
+            entries.append(dir_entry(n, 2, big_first[n], len(big[n]), right=right))
     dir_bytes = pad(b"".join(entries), ssz)
 
     fat = [_FREESECT] * (n_fat_sects * (ssz // 4))

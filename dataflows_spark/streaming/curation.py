@@ -73,6 +73,9 @@ from pyspark.sql import functions as F
 from ..functions import text as txt
 from ..functions.dedup import (
     DEFAULT_HASH_FN,
+    DEFAULT_NGRAM,
+    DEFAULT_NUM_BANDS,
+    DEFAULT_NUM_HASHES,
     char_ngrams,
     jaccard,
     minhash_bands,
@@ -109,6 +112,9 @@ def _bucket(col: Column, num_buckets: int) -> Column:
 #: ``batch_id=N/<bucket_col>=K`` layout). A meta-less data dir is a
 #: pre-versioning layout and is refused, never silently re-adopted.
 _LAYOUT_VERSION = 2
+
+#: rolling bound on the in-memory ``batch_metrics`` series
+_METRICS_CAP = 4096
 
 
 class _BucketedIndex:
@@ -345,9 +351,17 @@ def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list
                 f"{path} is neither an index table (no _index_meta.json) nor a "
                 "curation sink root (no state/index/)"
             )
-        tables = [
-            os.path.join(root, d) for d in sorted(os.listdir(root)) if is_table(os.path.join(root, d))
-        ]
+        if is_table(root):
+            # StreamingEmbeddingDeduper: ONE table directly at
+            # state/index (meta inside it, batch dirs as siblings)
+            tables = [root]
+        else:
+            # StreamingCorpusCleaner: fps/bands/docs tables under it
+            tables = [
+                os.path.join(root, d)
+                for d in sorted(os.listdir(root))
+                if is_table(os.path.join(root, d))
+            ]
         if not tables:
             raise ValueError(f"no index tables with _index_meta.json under {root}")
     for t in tables:
@@ -387,12 +401,13 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         path: str,
         id_col: str = "doc_id",
         text_col: str = "text",
-        num_hashes: int = 4,
-        num_bands: int = 2,
-        ngram: int = 5,
+        num_hashes: int = DEFAULT_NUM_HASHES,
+        num_bands: int = DEFAULT_NUM_BANDS,
+        ngram: int = DEFAULT_NGRAM,
         jaccard_threshold: float = 0.8,
         hash_fn: str = DEFAULT_HASH_FN,
         num_buckets: int = 16,
+        collect_metrics: bool = False,
     ):
         super().__init__(path)
         from ..functions.dedup import _check_banding
@@ -442,9 +457,15 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             os.path.join(index_root, "docs"), "db", num_buckets, "doc_id", hash_meta
         )
         #: per-committed-batch observability (driver-side, appended by
-        #: write_batch): index bytes the pruned reads touched vs the
-        #: whole index — the direct pruning-effectiveness series the
-        #: long-horizon bench records
+        #: write_batch when ``collect_metrics``): index bytes the
+        #: pruned reads touched vs the whole index — the direct
+        #: pruning-effectiveness series the long-horizon bench records.
+        #: OPT-IN: the measurement stats O(batches × num_buckets) files
+        #: per batch (a metadata-RPC storm on object stores), so a
+        #: production stream pays nothing unless asked; the list is
+        #: also capped (rolling) so a long stream cannot grow it
+        #: unboundedly.
+        self.collect_metrics = collect_metrics
         self.batch_metrics: list[dict] = []
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
@@ -547,9 +568,10 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 # pruned to the batch's own fp buckets
                 fp_buckets = _touched_buckets(batch_docs, F.col("fp"), self.num_buckets)
                 if fp_buckets:
-                    rb, tb = self._fps.pruned_bytes(fp_buckets, batch_id)
-                    m["index_read_bytes"] += rb
-                    m["index_total_bytes"] += tb
+                    if self.collect_metrics:
+                        rb, tb = self._fps.pruned_bytes(fp_buckets, batch_id)
+                        m["index_read_bytes"] += rb
+                        m["index_total_bytes"] += tb
                     seen_fps = self._fps.read_pruned(spark, fp_buckets, batch_id)
                     batch_docs = batch_docs.join(
                         seen_fps.select("fp").distinct(), on="fp", how="left_anti"
@@ -600,9 +622,10 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 # read pruned to the batch's own band-hash buckets.
                 band_buckets = _touched_buckets(new_b, F.col("band_hash"), self.num_buckets)
                 if band_buckets:
-                    rb, tb = self._bands.pruned_bytes(band_buckets, batch_id)
-                    m["index_read_bytes"] += rb
-                    m["index_total_bytes"] += tb
+                    if self.collect_metrics:
+                        rb, tb = self._bands.pruned_bytes(band_buckets, batch_id)
+                        m["index_read_bytes"] += rb
+                        m["index_total_bytes"] += tb
                     seen_bands = self._bands.read_pruned(spark, band_buckets, batch_id).select(
                         F.col("doc_id").alias("id_a"), "band", "band_hash"
                     )
@@ -633,9 +656,10 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             if cross is not None:
                 doc_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)
                 if doc_buckets:
-                    rb, tb = self._docs.pruned_bytes(doc_buckets, batch_id)
-                    m["index_read_bytes"] += rb
-                    m["index_total_bytes"] += tb
+                    if self.collect_metrics:
+                        rb, tb = self._docs.pruned_bytes(doc_buckets, batch_id)
+                        m["index_read_bytes"] += rb
+                        m["index_total_bytes"] += tb
                     seen_docs = self._docs.read_pruned(spark, doc_buckets, batch_id)
                     index_lut = self._gram_lut(
                         seen_docs, cross.select(F.col("id_a").alias("doc_id"))
@@ -661,7 +685,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             from .sink import _atomic_write
 
             _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})
-            self.batch_metrics.append(m)
+            if self.collect_metrics:
+                self.batch_metrics.append(m)
+                del self.batch_metrics[:-_METRICS_CAP]
             batch_docs.unpersist()
         finally:
             enriched.unpersist()
@@ -707,6 +733,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
         bits: int = 8,
         seed: int = 42,
         num_buckets: int = 16,
+        collect_metrics: bool = False,
     ):
         super().__init__(path)
         if dim is None:
@@ -727,7 +754,9 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             # family — refuse a resume that would silently join nothing
             {"dim": dim, "bits": bits, "seed": seed},
         )
-        #: same pruning-effectiveness series as StreamingCorpusCleaner
+        #: same opt-in pruning-effectiveness series as
+        #: StreamingCorpusCleaner (off by default; rolling cap)
+        self.collect_metrics = collect_metrics
         self.batch_metrics: list[dict] = []
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
@@ -771,9 +800,10 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                 # advisor's out-of-order duplicate leak)
                 sig_buckets = _touched_buckets(enriched, F.col("sig"), self.num_buckets)
                 if sig_buckets:
-                    rb, tb = self._index.pruned_bytes(sig_buckets, batch_id)
-                    m["index_read_bytes"] += rb
-                    m["index_total_bytes"] += tb
+                    if self.collect_metrics:
+                        rb, tb = self._index.pruned_bytes(sig_buckets, batch_id)
+                        m["index_read_bytes"] += rb
+                        m["index_total_bytes"] += tb
                     # the sig equi-join exchanges NARROW (id, sig) rows
                     # on the index side; index vectors re-attach by id
                     # only for the verify (the lsh_neardup_pairs shuffle
@@ -815,7 +845,9 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             from .sink import _atomic_write
 
             _atomic_write(self._commit_marker(batch_id), {"batch_id": batch_id})
-            self.batch_metrics.append(m)
+            if self.collect_metrics:
+                self.batch_metrics.append(m)
+                del self.batch_metrics[:-_METRICS_CAP]
         finally:
             enriched.unpersist()
 

@@ -891,3 +891,70 @@ def test_xls_not_ole2_raises(tmp_path):
         fh.write(b"a,b\n1,2\n")
     with _p.raises(ValueError, match="OLE2"):
         read_xls(p)
+
+
+def test_gsheet_explicit_sheet_overrides_query_gid():
+    """Review fix: sheet= must replace a gid already in the QUERY
+    string (the 'Publish to web' dialog emits ?gid=0&single=true), not
+    just fill one in when absent."""
+    from dataflows_spark.operators.load import _gsheet_export_url as gs
+
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/e/2PACX-a/pub?gid=0&single=true&output=csv", sheet=7)
+        == "https://docs.google.com/spreadsheets/d/e/2PACX-a/pub?gid=7&single=true&output=csv"
+    )
+    assert (
+        gs("https://docs.google.com/spreadsheets/d/K/export?format=csv&gid=3", sheet=9)
+        == "https://docs.google.com/spreadsheets/d/K/export?format=csv&gid=9"
+    )
+    # no explicit sheet → URL's own gid stays
+    u = "https://docs.google.com/spreadsheets/d/e/2PACX-a/pub?gid=3&output=csv"
+    assert gs(u) == u
+
+
+def test_xls_long_string_splits_mid_chardata(tmp_path):
+    """Review fix: one string longer than a BIFF record splits MID
+    character data across CONTINUE records (per-continuation flag
+    byte), staying within the 8224-byte record limit; >32767-char cells
+    raise instead of silently corrupting the u16 length."""
+    import struct
+
+    import pytest as _p
+
+    from dataflows_spark.sources.xls import _records, read_xls, write_xls
+
+    long_s = "x" * 10_000 + "END"
+    p = str(tmp_path / "long.xls")
+    write_xls(p, ["s"], [[long_s], ["short"]])
+    h, rows = read_xls(p)
+    assert rows[0][0] == long_s and rows[1][0] == "short"
+    # no record exceeds the BIFF8 data limit
+    with open(p, "rb") as fh:
+        data = fh.read()
+    from dataflows_spark.sources.xls import _cfb_streams
+
+    wb = _cfb_streams(data)["Workbook"]
+    assert all(len(d) <= 8224 for _op, d, _pos in _records(wb))
+
+    with _p.raises(ValueError, match="32767"):
+        write_xls(str(tmp_path / "over.xls"), ["s"], [["y" * 40_000]])
+
+
+def test_ods_cells_ceiling_guards_blank_run_bomb(tmp_path):
+    """Review fix: a crafted huge interior blank run times a wide row
+    must fail loud at the rows x width ceiling, not OOM the driver."""
+    import pytest as _p
+
+    from dataflows_spark.sources.ods import read_ods
+
+    wide = (
+        "<table:table-row>"
+        + '<table:table-cell table:number-columns-repeated="16383"/>'
+        + '<table:table-cell office:value-type="string"><text:p>w</text:p></table:table-cell>'
+        + "</table:table-row>"
+    )
+    blank_run = '<table:table-row table:number-rows-repeated="1000000"><table:table-cell/></table:table-row>'
+    val = '<table:table-row><table:table-cell office:value-type="string"><text:p>v</text:p></table:table-cell></table:table-row>'
+    p = _mini_ods(tmp_path, wide + blank_run + val, name="bomb.ods")
+    with _p.raises(ValueError, match="ceiling"):
+        read_ods(p)

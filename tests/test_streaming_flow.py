@@ -652,6 +652,27 @@ def test_streaming_index_rebucket_migration(spark, tmp_path):
     ctrl(batch1, 1)
     assert got == {r["doc_id"] for r in ctrl.read(spark).select("doc_id").collect()}
 
+    # deduper layout: its single table lives directly AT state/index —
+    # rebucket_index must find it there (review fix)
+    from dataflows_spark.streaming import StreamingEmbeddingDeduper
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dout = str(tmp_path / "rb_demb")
+    d1 = StreamingEmbeddingDeduper(dout, dim=64, bits=8, num_buckets=8)
+    d1(emb.filter(F.col("vec_id") < 200), 0)
+    assert rebucket_index(spark, dout, 32) == [
+        os.path.join(dout, "state", "index")
+    ]
+    d2 = StreamingEmbeddingDeduper(dout, dim=64, bits=8, num_buckets=32)
+    # exact copies of indexed vectors, new ids: must still drop across
+    # the rewrite
+    dup = emb.filter(F.col("vec_id") < 50).withColumn("vec_id", F.col("vec_id") + 700000)
+    d2(dup, 1)
+    got_d = {r["vec_id"] for r in d2.read(spark).collect()}
+    assert not any(v >= 700000 for v in got_d)
+
 
 def test_streaming_index_rejects_hash_family_change(spark, tmp_path):
     """round-4 advisor: _index_meta.json must pin the WHOLE hash-family
