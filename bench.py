@@ -678,21 +678,29 @@ def run_streaming_curation_tier(n_batches: int = 24) -> dict:
         docs,
         "doc_id",
         "doc_id bigint, text string",
-        lambda p: StreamingCorpusCleaner(p, num_buckets=32, collect_metrics=True),
+        lambda p: StreamingCorpusCleaner(
+            p, num_buckets=32, collect_metrics=True, compact_every=8
+        ),
         "corpus",
     )
     # bits sizes the LSH bucket count to the CORPUS: candidate-verify
     # work per batch is O(index × batch / 2^bits) for random vectors, so
     # 2^bits must grow with the corpus (bits=12 → 4096 buckets → ~380k
     # collision pairs per 15k-vector batch at 105k indexed — measured
-    # growing 4.4→13.6 s/batch; bits=16 keeps it ~flat)
+    # growing 4.4→13.6 s/batch). At the 24-batch horizon (5k-vector
+    # batches, 115k indexed by the tail) bits=16 still leaks growth:
+    # ~8.8k collision pairs/batch by the end — past the 1000-id
+    # pushdown cap, so the vector re-attach degrades to a full
+    # semi-join scan (measured growth 1.31). bits=20 puts tail
+    # collisions at ~550/batch (inside the pushdown regime, flat);
+    # exact duplicates collide at any width.
     emb = spark.read.parquet(SF1_EMB_PATH)
     drive(
         emb,
         "vec_id",
         "vec_id bigint, embedding array<float>",
         lambda p: StreamingEmbeddingDeduper(
-            p, threshold=0.99, dim=64, bits=16, num_buckets=32, collect_metrics=True
+            p, threshold=0.99, dim=64, bits=20, num_buckets=32, collect_metrics=True, compact_every=8
         ),
         "embedding",
     )
@@ -799,10 +807,30 @@ def main() -> None:
     ROUNDS = 3
     chain_samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
     stream_samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
+
+    # an hour of measurement must survive a late-phase crash: every
+    # completed phase lands in BENCH/partial_run.json immediately (the
+    # r3 'parsed: null' lesson applied to the whole run, not just the
+    # final JSON)
+    partial: dict = {}
+
+    def checkpoint_phase(name, value) -> None:
+        partial[name] = value
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "partial_run.json"), "w") as fh:
+            json.dump(partial, fh, indent=1)
+
     for _rnd in range(ROUNDS):
         for c in LEVELS:
             chain_samples[c].append(run_chain_subprocess(c, 1))
             stream_samples[c].append(run_stream_subprocess(c))
+        checkpoint_phase(
+            f"samples_round_{_rnd}",
+            {
+                "chain": {str(c): chain_samples[c] for c in LEVELS},
+                "stream": {str(c): stream_samples[c] for c in LEVELS},
+            },
+        )
 
     def _chain_thr(r: dict) -> float:
         return r["clips"] / max(r["sec"], 1e-9)
@@ -819,9 +847,13 @@ def main() -> None:
     chain_sample_thr = {str(c): [round(_chain_thr(r), 1) for r in chain_samples[c]] for c in LEVELS}
     stream_sample_thr = {str(c): [round(_steady_thr(r), 1) for r in stream_samples[c]] for c in LEVELS}
     hw = hw_ceiling()
+    checkpoint_phase("hw_ceiling", hw)
     queries = run_headline_queries()
+    checkpoint_phase("queries", queries)
     sf1 = run_sf1_tier()
+    checkpoint_phase("sf1_dedup_ann", sf1)
     curation = run_streaming_curation_tier()
+    checkpoint_phase("streaming_curation", curation)
 
     result = {
         "metric": "clips/sec end-to-end on windowed audio processor-chain (validate→decode+features→normalize→window agg), SF=0.1",

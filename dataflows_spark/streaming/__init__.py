@@ -1,6 +1,7 @@
 from .curation import (
     StreamingCorpusCleaner,
     StreamingEmbeddingDeduper,
+    compact_index,
     curation_filter,
     rebucket_index,
 )
@@ -21,6 +22,7 @@ from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 __all__ = [
     "StreamingCorpusCleaner",
     "StreamingEmbeddingDeduper",
+    "compact_index",
     "curation_filter",
     "rebucket_index",
     "dump_stream",

@@ -180,6 +180,14 @@ class _BucketedIndex:
         :meth:`rebucket` / :func:`rebucket_index`."""
         import json
 
+        sentinel = os.path.join(self.path, "_compacting.json")
+        if os.path.exists(sentinel):
+            raise ValueError(
+                f"index at {self.path} has an interrupted compaction "
+                "(_compacting.json present) — the batch dirs live in the "
+                "sibling .__compact_old directory; restore them (or rerun "
+                "compact after moving them back) before resuming."
+            )
         meta_path = os.path.join(self.path, "_index_meta.json")
         expect = self._meta()
         if os.path.exists(meta_path):
@@ -212,6 +220,60 @@ class _BucketedIndex:
         from .sink import _atomic_write
 
         _atomic_write(meta_path, expect)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Offline compaction: merge every committed ``batch_id=N`` dir
+        into ONE dir keyed by the highest compacted batch id — file
+        count drops from O(batches × num_buckets) to O(num_buckets),
+        bounding the per-read LISTING cost that otherwise grows with
+        stream age (the in-sandbox answer to what Iceberg manifests do
+        at 100×). Returns the number of batch dirs merged.
+
+        SAFETY: run with the stream STOPPED, like :meth:`rebucket`.
+        Every compacted batch is already committed, so the
+        ``batch_id != current`` replay exclusion never needs to
+        distinguish them again (a replayed committed batch no-ops at
+        its marker before any read); the merged dir keeps the max
+        batch id so future exclusion filters stay well-formed. Rows,
+        bucket values and meta are unchanged — only the dir shape."""
+        self._check_meta()
+        if not os.path.isdir(self.path):
+            return 0
+        batch_dirs = sorted(
+            e for e in os.listdir(self.path) if e.startswith("batch_id=")
+        )
+        if len(batch_dirs) <= 1:
+            return len(batch_dirs)
+        import shutil
+
+        max_id = max(int(e.split("=", 1)[1]) for e in batch_dirs)
+        tmp = self.path.rstrip("/") + ".__compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(self.path)
+            .drop("batch_id")
+            # one task per bucket → exactly ≤ num_buckets output files
+            .repartition(self.num_buckets, F.col(self.bucket_col))
+            .write.mode("overwrite")
+            .partitionBy(self.bucket_col)
+            .parquet(tmp)
+        )
+        # the dir swap is multi-step — a sentinel makes a mid-swap
+        # crash FAIL LOUD on resume (_check_meta refuses while it
+        # exists) instead of silently serving a partial index
+        from .sink import _atomic_write
+
+        sentinel = os.path.join(self.path, "_compacting.json")
+        _atomic_write(sentinel, {"merging": batch_dirs, "into": max_id})
+        old = self.path.rstrip("/") + ".__compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(old)
+        for e in batch_dirs:
+            os.rename(os.path.join(self.path, e), os.path.join(old, e))
+        os.rename(tmp, os.path.join(self.path, f"batch_id={max_id}"))
+        os.remove(sentinel)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(batch_dirs)
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> None:
         """Offline re-bucket: rewrite every partition under the new
@@ -324,26 +386,20 @@ class _BucketedIndex:
         ).drop("batch_id", self.bucket_col)
 
 
-def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list[str]:
-    """Re-bucket every ``_BucketedIndex`` table under ``path`` to a new
-    modulus — the offline migration for a stream whose corpus outgrew
-    its provisioned bucket count (the sizing rule: buckets scale with
-    the corpus so per-batch pruned reads stay O(corpus/num_buckets)).
-
-    ``path`` may be a single index table dir (has ``_index_meta.json``)
-    or a sink root (``StreamingCorpusCleaner`` /
-    ``StreamingEmbeddingDeduper`` path — every table under
-    ``state/index/`` is migrated together, so the three cleaner tables
-    never diverge). Run it with the stream STOPPED; resume with
-    ``num_buckets=new_num_buckets`` and ``_check_meta`` accepts.
-    Returns the migrated table dirs."""
+def _index_tables(path: str) -> list[_BucketedIndex]:
+    """Resolve ``path`` — a single index table dir (has
+    ``_index_meta.json``) or a sink root (``StreamingCorpusCleaner``:
+    fps/bands/docs tables under ``state/index/``;
+    ``StreamingEmbeddingDeduper``: one table directly AT
+    ``state/index``) — into loaded :class:`_BucketedIndex` objects,
+    reconstructed entirely from the persisted metadata."""
     import json
 
     def is_table(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_index_meta.json"))
 
     if is_table(path):
-        tables = [path]
+        dirs = [path]
     else:
         root = os.path.join(path, "state", "index")
         if not os.path.isdir(root):
@@ -352,31 +408,58 @@ def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list
                 "curation sink root (no state/index/)"
             )
         if is_table(root):
-            # StreamingEmbeddingDeduper: ONE table directly at
-            # state/index (meta inside it, batch dirs as siblings)
-            tables = [root]
+            dirs = [root]
         else:
-            # StreamingCorpusCleaner: fps/bands/docs tables under it
-            tables = [
+            dirs = [
                 os.path.join(root, d)
                 for d in sorted(os.listdir(root))
                 if is_table(os.path.join(root, d))
             ]
-        if not tables:
+        if not dirs:
             raise ValueError(f"no index tables with _index_meta.json under {root}")
-    for t in tables:
+    out = []
+    reserved = ("layout_version", "num_buckets", "bucket_col", "key_name")
+    for t in dirs:
         with open(os.path.join(t, "_index_meta.json")) as fh:
             meta = json.load(fh)
-        reserved = ("layout_version", "num_buckets", "bucket_col", "key_name")
-        idx = _BucketedIndex(
-            t,
-            meta["bucket_col"],
-            meta["num_buckets"],
-            meta["key_name"],
-            {k: v for k, v in meta.items() if k not in reserved},
+        out.append(
+            _BucketedIndex(
+                t,
+                meta["bucket_col"],
+                meta["num_buckets"],
+                meta["key_name"],
+                {k: v for k, v in meta.items() if k not in reserved},
+            )
         )
+    return out
+
+
+def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list[str]:
+    """Re-bucket every ``_BucketedIndex`` table under ``path`` to a new
+    modulus — the offline migration for a stream whose corpus outgrew
+    its provisioned bucket count (the sizing rule: buckets scale with
+    the corpus so per-batch pruned reads stay O(corpus/num_buckets)).
+    All tables of a sink migrate together so they never diverge. Run
+    with the stream STOPPED; resume with
+    ``num_buckets=new_num_buckets`` and ``_check_meta`` accepts.
+    Returns the migrated table dirs."""
+    tables = _index_tables(path)
+    for idx in tables:
         idx.rebucket(spark, new_num_buckets)
-    return tables
+    return [t.path for t in tables]
+
+
+def compact_index(spark: SparkSession, path: str) -> dict[str, int]:
+    """Compact every ``_BucketedIndex`` table under ``path``: merge all
+    committed ``batch_id=N`` dirs into one, dropping the per-read file
+    LISTING cost from O(batches × num_buckets) back to O(num_buckets).
+    The periodic maintenance a long-running stream schedules between
+    micro-batch windows (offline, stream stopped) — the in-sandbox
+    analog of Iceberg manifest compaction. Dedup semantics are
+    untouched: rows, bucket values and meta are identical, and every
+    merged batch was already committed (replay no-ops at its marker).
+    Returns {table dir: batch dirs merged}."""
+    return {t.path: t.compact(spark) for t in _index_tables(path)}
 
 
 def _touched_buckets(df: DataFrame, key: Column, num_buckets: int) -> list[int]:
@@ -408,6 +491,7 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         hash_fn: str = DEFAULT_HASH_FN,
         num_buckets: int = 16,
         collect_metrics: bool = False,
+        compact_every: int | None = None,
     ):
         super().__init__(path)
         from ..functions.dedup import _check_banding
@@ -467,6 +551,12 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         #: unboundedly.
         self.collect_metrics = collect_metrics
         self.batch_metrics: list[dict] = []
+        #: auto-compaction cadence: every N committed batches the index
+        #: tables merge their batch dirs (file listing back to
+        #: O(num_buckets)); runs AFTER the commit marker, so a crash
+        #: mid-compaction replays as a no-op and the sentinel makes a
+        #: partial swap refuse loudly. None = manual compact_index only.
+        self.compact_every = compact_every
 
     # -- per-batch enrichment (one Catalyst pass) -------------------------
     def _enrich(self, batch: DataFrame) -> DataFrame:
@@ -688,6 +778,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             if self.collect_metrics:
                 self.batch_metrics.append(m)
                 del self.batch_metrics[:-_METRICS_CAP]
+            if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+                for idx in (self._fps, self._bands, self._docs):
+                    idx.compact(spark)
             batch_docs.unpersist()
         finally:
             enriched.unpersist()
@@ -734,6 +827,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
         seed: int = 42,
         num_buckets: int = 16,
         collect_metrics: bool = False,
+        compact_every: int | None = None,
     ):
         super().__init__(path)
         if dim is None:
@@ -758,6 +852,8 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
         #: StreamingCorpusCleaner (off by default; rolling cap)
         self.collect_metrics = collect_metrics
         self.batch_metrics: list[dict] = []
+        #: same auto-compaction cadence as StreamingCorpusCleaner
+        self.compact_every = compact_every
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         from ..functions.similarity import cosine_sim, lsh_signature
@@ -848,6 +944,8 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             if self.collect_metrics:
                 self.batch_metrics.append(m)
                 del self.batch_metrics[:-_METRICS_CAP]
+            if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+                self._index.compact(spark)
         finally:
             enriched.unpersist()
 

@@ -746,3 +746,97 @@ def test_streaming_gram_lut_pushes_candidate_ids_to_scan(spark, tmp_path):
 
     # empty candidate set → empty result, no error
     assert c._gram_lut(seen, ids.limit(0)).count() == 0
+
+
+def test_streaming_index_compaction(spark, tmp_path):
+    """compact_index merges all committed batch dirs into one per
+    table (file listing O(num_buckets) again — the Iceberg-manifest
+    analog), preserving dedup state exactly: a post-compaction resume
+    still drops duplicates of pre-compaction docs and matches an
+    uncompacted control run; an interrupted compaction (sentinel on
+    disk) refuses loudly instead of serving a partial index."""
+    import glob
+
+    import pytest as _p
+
+    from dataflows_spark.streaming import StreamingCorpusCleaner, compact_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out, ctrl_out = str(tmp_path / "cp_out"), str(tmp_path / "cp_ctrl")
+    c = StreamingCorpusCleaner(out, num_buckets=8)
+    ctrl = StreamingCorpusCleaner(ctrl_out, num_buckets=8)
+    batches = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+    ]
+    for i, b in enumerate(batches):
+        c(b, i)
+        ctrl(b, i)
+
+    def n_files(root):
+        return len(glob.glob(os.path.join(root, "state", "index", "*", "batch_id=*", "*", "*.parquet")))
+
+    before = n_files(out)
+    merged = compact_index(spark, out)
+    assert set(merged.values()) == {3} and len(merged) == 3  # 3 tables × 3 batch dirs
+    after = n_files(out)
+    assert after < before  # listing shrank
+    # exactly one batch dir left per table
+    for t in merged:
+        assert sum(1 for e in os.listdir(t) if e.startswith("batch_id=")) == 1
+
+    # resume: exact + near dups of PRE-compaction docs still drop,
+    # fresh docs survive — identical to the uncompacted control
+    survivors = sorted(r["doc_id"] for r in c.read(spark).select("doc_id").collect())[:10]
+    planted = (
+        docs.join(spark.createDataFrame([(i,) for i in survivors], "doc_id bigint"), on="doc_id")
+        .withColumn("doc_id", F.col("doc_id") + 800000)
+    )
+    batch3 = planted.unionByName(docs.filter(F.col("doc_id") >= 400))
+    c(batch3, 3)
+    ctrl(batch3, 3)
+    got = {r["doc_id"] for r in c.read(spark).select("doc_id").collect()}
+    assert not any(g >= 800000 for g in got)
+    assert got == {r["doc_id"] for r in ctrl.read(spark).select("doc_id").collect()}
+
+    # interrupted compaction: sentinel present → loud refusal
+    sent = os.path.join(list(merged)[0], "_compacting.json")
+    with open(sent, "w") as fh:
+        fh.write("{}")
+    with _p.raises(ValueError, match="interrupted compaction"):
+        StreamingCorpusCleaner(out, num_buckets=8)(docs.limit(5), 4)
+    os.remove(sent)
+
+
+def test_streaming_auto_compaction_cadence(spark, tmp_path):
+    """compact_every=N: after every Nth committed batch the index
+    tables merge their batch dirs automatically — the long-stream
+    listing bound without operator intervention — and dedup state is
+    preserved across the merges (matches a never-compacted control)."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out, ctrl_out = str(tmp_path / "ac_out"), str(tmp_path / "ac_ctrl")
+    c = StreamingCorpusCleaner(out, num_buckets=8, compact_every=2)
+    ctrl = StreamingCorpusCleaner(ctrl_out, num_buckets=8)
+    bounds = [0, 100, 200, 300, 400, 500]
+    for i in range(5):
+        b = docs.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+        c(b, i)
+        ctrl(b, i)
+    # after batches 0..4 with cadence 2, compactions ran at batch 1 and
+    # 3 → each table holds ≤ 2 batch dirs (merged + batch 4)
+    for t in ("fps", "bands", "docs"):
+        dirs = [
+            e
+            for e in os.listdir(os.path.join(out, "state", "index", t))
+            if e.startswith("batch_id=")
+        ]
+        assert len(dirs) <= 2, dirs
+    got = {r["doc_id"] for r in c.read(spark).select("doc_id").collect()}
+    assert got == {r["doc_id"] for r in ctrl.read(spark).select("doc_id").collect()}
