@@ -37,6 +37,17 @@ execution model:
   corpus its own keys hash into. Per-batch WRITE cost stays O(batch)
   (append-only ``batch_id=N`` subdirs, repartitioned by bucket so
   each batch adds ≤ num_buckets files per table).
+- **Candidate-id scan pushdown**: banding keeps candidate sets tiny
+  (tens of ids per batch), so the fat index columns (doc TEXT /
+  vectors) are read through a collected-id ``In`` filter that parquet
+  row-group stats turn into file skips — per-batch fat-column IO is
+  O(candidates) regardless of corpus size (semi-join fallback past a
+  1000-id cap).
+- **Compaction**: :func:`compact_index` (or ``compact_every=N`` on
+  the sinks) merges committed batch dirs so the per-read file LISTING
+  stays O(num_buckets) instead of growing with stream age — the
+  sandbox analog of Iceberg manifest compaction, crash-guarded by a
+  sentinel the meta check refuses.
 - **Exactly-once**: survivors land in per-batch parquet dirs committed
   by atomic markers (:class:`ExactlyOnceParquetSink` protocol); the
   index is APPEND-ONLY per-batch (batch ids are fresh by construction,
