@@ -123,6 +123,13 @@ def _gsheet_export_url(url: str, force: bool = False, sheet=None) -> str | None:
             )
         if gid is not None:
             url = apply_gid(url, f"gid={gid}&single=true")
+            # an explicit sheet= against a URL with a pre-existing query
+            # gid takes the REPLACE path above, which substitutes only
+            # the digits — the selection is still ineffective without
+            # single=true, so guarantee it (URLs without explicit
+            # sheet= pass through untouched, as published)
+            if explicit_gid and not re.search(r"[?&]single=true\b", url):
+                url = with_param(url, "single=true")
         if "output=" not in url.split("?", 1)[-1]:
             url = with_param(url, "output=csv")
         return url

@@ -355,7 +355,19 @@ def read_xls(path: str, sheet: int | str = 1) -> tuple[list[str], list[list]]:
     names, by_sheet = _parse_workbook(wb)
     if not names:
         return [], []
-    name = sheet if isinstance(sheet, str) else names[sheet - 1]
+    if isinstance(sheet, str):
+        if sheet not in by_sheet:
+            raise ValueError(f"no sheet named {sheet!r} in {path!r} (sheets: {names})")
+        name = sheet
+    else:
+        # 1-based like read_xlsx/read_ods; bare list indexing would let
+        # sheet=0 / negatives silently select from the END of the book
+        if not 1 <= sheet <= len(names):
+            raise ValueError(
+                f"sheet index {sheet} out of range 1..{len(names)} in {path!r} "
+                f"(sheets: {names})"
+            )
+        name = names[sheet - 1]
     cells = by_sheet[name]
     if not cells:
         return [], []

@@ -204,6 +204,15 @@ class _BucketedIndex:
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 stored = json.load(fh)
+            if set(stored) < set(expect) and all(stored[k] == expect[k] for k in stored):
+                # meta written by an earlier version that persisted fewer
+                # keys, every key it DID persist matches the requested
+                # config — the on-disk rows are compatible, so backfill
+                # the missing keys instead of forcing a state rebuild
+                from .sink import _atomic_write
+
+                _atomic_write(meta_path, expect)
+                return
             bad = {k: stored.get(k) for k in expect if stored.get(k) != expect[k]}
             if bad:
                 detail = ", ".join(
@@ -232,36 +241,76 @@ class _BucketedIndex:
 
         _atomic_write(meta_path, expect)
 
-    def compact(self, spark: SparkSession) -> int:
-        """Offline compaction: merge every committed ``batch_id=N`` dir
-        into ONE dir keyed by the highest compacted batch id — file
+    def compact(self, spark: SparkSession, committed: set[int] | None = None) -> int:
+        """Offline compaction: merge every COMMITTED ``batch_id=N`` dir
+        into ONE dir keyed by the highest committed batch id — file
         count drops from O(batches × num_buckets) to O(num_buckets),
         bounding the per-read LISTING cost that otherwise grows with
         stream age (the in-sandbox answer to what Iceberg manifests do
         at 100×). Returns the number of batch dirs merged.
 
+        ``committed`` is the owning sink's committed-batch-id set
+        (:meth:`ExactlyOnceParquetSink.committed_batches`). Index
+        writes land BEFORE the sink's commit marker, so a crash
+        mid-batch leaves an UNCOMMITTED ``batch_id=N`` dir that Spark
+        will replay (and whose replay overwrites exactly that dir, and
+        excludes exactly that batch_id from its reads). Such a dir must
+        stay OUT of the merge: folding it in would (a) hide the whole
+        merged index from the replay's ``batch_id != N`` exclusion and
+        (b) let the replay's ``mode('overwrite')`` write to
+        ``batch_id=N`` destroy the merged state. Uncommitted dirs are
+        left untouched; ``committed=None`` means the caller could not
+        provide the set, in which case compaction REFUSES rather than
+        guess. An uncommitted dir with an id ≤ the merge target would
+        survive replay-exclusion as garbage rows — anomalous (batches
+        commit in order), refused loudly.
+
         SAFETY: run with the stream STOPPED, like :meth:`rebucket`.
-        Every compacted batch is already committed, so the
+        Every merged batch is already committed, so the
         ``batch_id != current`` replay exclusion never needs to
         distinguish them again (a replayed committed batch no-ops at
         its marker before any read); the merged dir keeps the max
-        batch id so future exclusion filters stay well-formed. Rows,
-        bucket values and meta are unchanged — only the dir shape."""
+        COMMITTED batch id so future exclusion filters stay
+        well-formed. Rows, bucket values and meta are unchanged — only
+        the dir shape."""
         self._check_meta()
         if not os.path.isdir(self.path):
             return 0
-        batch_dirs = sorted(
-            e for e in os.listdir(self.path) if e.startswith("batch_id=")
-        )
-        if len(batch_dirs) <= 1:
-            return len(batch_dirs)
+        by_id = {}
+        for e in os.listdir(self.path):
+            if e.startswith("batch_id="):
+                by_id[int(e.split("=", 1)[1])] = e
+        if committed is None:
+            if by_id:
+                raise ValueError(
+                    f"compact() on {self.path} needs the owning sink's committed "
+                    "batch-id set — an uncommitted (crashed, to-be-replayed) batch "
+                    "dir folded into the merge would be destroyed by its own "
+                    "replay. Call compact_index(spark, <sink root>) or pass "
+                    "committed=sink.committed_batches()."
+                )
+            return 0
+        merge_ids = sorted(b for b in by_id if b in committed)
+        if len(merge_ids) <= 1:
+            return len(merge_ids)
+        max_id = merge_ids[-1]
+        stragglers = sorted(b for b in by_id if b not in committed)
+        if any(b <= max_id for b in stragglers):
+            raise ValueError(
+                f"index at {self.path} has uncommitted batch dir(s) "
+                f"{[b for b in stragglers if b <= max_id]} BELOW the newest "
+                f"committed batch {max_id} — batches commit in order, so this "
+                "state is corrupt (stale markers or hand-edited dirs); refusing "
+                "to compact around it."
+            )
         import shutil
 
-        max_id = max(int(e.split("=", 1)[1]) for e in batch_dirs)
+        batch_dirs = [by_id[b] for b in merge_ids]
         tmp = self.path.rstrip("/") + ".__compact_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            spark.read.parquet(self.path)
+            spark.read.option("basePath", self.path)
+            .parquet(*(os.path.join(self.path, e) for e in batch_dirs))
             .drop("batch_id")
             # one task per bucket → exactly ≤ num_buckets output files
             .repartition(self.num_buckets, F.col(self.bucket_col))
@@ -460,17 +509,44 @@ def rebucket_index(spark: SparkSession, path: str, new_num_buckets: int) -> list
     return [t.path for t in tables]
 
 
+def _sink_committed_set(table_dir: str) -> set[int] | None:
+    """The committed batch-id set of the sink that owns ``table_dir``,
+    read straight from its ``_commits`` marker dir (index tables live
+    at ``<sink>/state/index[/<name>]``, so the sink root is a near
+    ancestor). ``None`` when no ``_commits`` dir exists anywhere above
+    — the caller must then refuse to compact (no way to tell a crashed
+    uncommitted batch dir from a committed one)."""
+    d = os.path.abspath(table_dir)
+    for _ in range(4):
+        commits = os.path.join(d, "_commits")
+        if os.path.isdir(commits):
+            return {
+                int(f.split(".")[0]) for f in os.listdir(commits) if f.endswith(".json")
+            }
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return None
+
+
 def compact_index(spark: SparkSession, path: str) -> dict[str, int]:
     """Compact every ``_BucketedIndex`` table under ``path``: merge all
-    committed ``batch_id=N`` dirs into one, dropping the per-read file
+    COMMITTED ``batch_id=N`` dirs into one, dropping the per-read file
     LISTING cost from O(batches × num_buckets) back to O(num_buckets).
     The periodic maintenance a long-running stream schedules between
     micro-batch windows (offline, stream stopped) — the in-sandbox
     analog of Iceberg manifest compaction. Dedup semantics are
-    untouched: rows, bucket values and meta are identical, and every
-    merged batch was already committed (replay no-ops at its marker).
-    Returns {table dir: batch dirs merged}."""
-    return {t.path: t.compact(spark) for t in _index_tables(path)}
+    untouched: rows, bucket values and meta are identical. A batch dir
+    with no commit marker (a crash landed the index write but not the
+    sink's marker — Spark will replay that batch) is left untouched so
+    its replay overwrites only its own dir (see
+    :meth:`_BucketedIndex.compact`). Returns {table dir: batch dirs
+    merged}."""
+    out = {}
+    for t in _index_tables(path):
+        out[t.path] = t.compact(spark, _sink_committed_set(t.path))
+    return out
 
 
 def _touched_buckets(df: DataFrame, key: Column, num_buckets: int) -> list[int]:
@@ -790,8 +866,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 self.batch_metrics.append(m)
                 del self.batch_metrics[:-_METRICS_CAP]
             if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+                done = set(self.committed_batches())
                 for idx in (self._fps, self._bands, self._docs):
-                    idx.compact(spark)
+                    idx.compact(spark, done)
             batch_docs.unpersist()
         finally:
             enriched.unpersist()
@@ -956,7 +1033,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                 self.batch_metrics.append(m)
                 del self.batch_metrics[:-_METRICS_CAP]
             if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-                self._index.compact(spark)
+                self._index.compact(spark, set(self.committed_batches()))
         finally:
             enriched.unpersist()
 

@@ -347,6 +347,24 @@ def test_gsheet_published_urls_pass_through():
         gs("https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3")
         == "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3&output=csv"
     )
+    # explicit sheet= against a /pub URL that ALREADY has a query gid:
+    # the gid substitutes in place, and single=true must still be
+    # guaranteed or the selection is silently ignored (advisor r5)
+    assert gs(
+        "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3&output=csv",
+        sheet=7,
+    ) == (
+        "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=7&output=csv"
+        "&single=true"
+    )
+    # …but when single=true is already present it is not duplicated
+    assert gs(
+        "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=3&single=true",
+        sheet=7,
+    ) == (
+        "https://docs.google.com/spreadsheets/d/e/2PACX-abc/pub?gid=7&single=true"
+        "&output=csv"
+    )
 
 
 def test_ods_roundtrip_property():
@@ -789,6 +807,26 @@ def test_xls_roundtrip_types(spark, tmp_path):
         ("bob", 2, -2.25, False, "x"),
         ("čžß", 3, 100.25, True, "ünïcode"),
     ]
+
+
+def test_xls_sheet_selection_validation(tmp_path):
+    """sheet= out of the 1-based range (0, negative, too large) and
+    unknown names raise a ValueError that lists the available sheets —
+    never Python negative indexing silently picking from the END of the
+    book (advisor r5)."""
+    import pytest
+
+    from dataflows_spark.sources.xls import read_xls, write_xls
+
+    p = str(tmp_path / "sheets.xls")
+    write_xls(p, ["a"], [[1], [2]], sheet_name="only")
+    assert read_xls(p, sheet=1)[1] == [[1.0], [2.0]]
+    assert read_xls(p, sheet="only")[1] == [[1.0], [2.0]]
+    for bad in (0, -1, 2, 99):
+        with pytest.raises(ValueError, match=r"out of range 1\.\.1.*'only'"):
+            read_xls(p, sheet=bad)
+    with pytest.raises(ValueError, match=r"no sheet named 'nope'.*'only'"):
+        read_xls(p, sheet="nope")
 
 
 def test_xls_big_file_and_sst_continue(tmp_path):

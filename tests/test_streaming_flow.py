@@ -811,6 +811,94 @@ def test_streaming_index_compaction(spark, tmp_path):
     os.remove(sent)
 
 
+def test_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
+    """Crash-window safety (advisor r5 high): index writes land BEFORE
+    the sink's commit marker, so a crash mid-batch leaves an
+    UNCOMMITTED batch_id dir that Spark will replay. compact_index must
+    leave it out of the merge — folding it in would both hide the
+    merged index from the replay's ``batch_id != N`` exclusion and let
+    the replay's overwrite of ``batch_id=N`` destroy the merged dedup
+    state. After the replay commits, results must match a control that
+    never crashed or compacted."""
+    import pytest as _p
+
+    from dataflows_spark.streaming import StreamingCorpusCleaner, compact_index
+    from dataflows_spark.streaming.curation import _BucketedIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out, ctrl_out = str(tmp_path / "cs_out"), str(tmp_path / "cs_ctrl")
+    c = StreamingCorpusCleaner(out, num_buckets=8)
+    ctrl = StreamingCorpusCleaner(ctrl_out, num_buckets=8)
+    bounds = [0, 120, 240, 360]
+    batches = [
+        docs.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        c(b, i)
+        ctrl(b, i)
+    # simulate the crash window of batch 2: index dirs written, sink
+    # marker never landed → Spark will re-deliver batch 2
+    os.remove(os.path.join(out, "_commits", "2.json"))
+
+    merged = compact_index(spark, out)
+    assert set(merged.values()) == {2}  # batches 0,1 merged; 2 skipped
+    for t in merged:
+        dirs = sorted(e for e in os.listdir(t) if e.startswith("batch_id="))
+        # merged dir named by max COMMITTED id; uncommitted dir intact
+        assert dirs == ["batch_id=1", "batch_id=2"], dirs
+
+    # replay of the uncommitted batch converges: near/exact dups of
+    # batches 0-1 drop against the compacted index, fresh batch-2 docs
+    # survive — row-identical to the never-crashed, never-compacted ctrl
+    c(batches[2], 2)
+    got = {r["doc_id"] for r in c.read(spark).select("doc_id").collect()}
+    assert got == {r["doc_id"] for r in ctrl.read(spark).select("doc_id").collect()}
+
+    # a bare compact() with no committed set must refuse, not guess
+    idx = _BucketedIndex(os.path.join(out, "state", "index", "fps"), "fpb", 8, "fp")
+    with _p.raises(ValueError, match="committed"):
+        idx.compact(spark)
+
+
+def test_index_meta_subset_backfill(spark, tmp_path):
+    """_index_meta.json written by an earlier version that persisted
+    fewer keys — all of which match the requested config — is accepted
+    and backfilled in place instead of forcing the accumulated dedup
+    state to be rebuilt (advisor r5); a subset whose values MISMATCH
+    still refuses."""
+    import json
+
+    import pytest as _p
+
+    from dataflows_spark.streaming import StreamingCorpusCleaner
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "mb_out")
+    c = StreamingCorpusCleaner(out, num_buckets=8)
+    c(docs.filter(F.col("doc_id") < 100), 0)
+    meta_path = os.path.join(out, "state", "index", "fps", "_index_meta.json")
+    with open(meta_path) as fh:
+        full = json.load(fh)
+    with open(meta_path, "w") as fh:
+        json.dump({"num_buckets": 8}, fh)  # prior-version meta shape
+
+    c2 = StreamingCorpusCleaner(out, num_buckets=8)
+    c2(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)), 1)
+    with open(meta_path) as fh:
+        assert json.load(fh) == full  # backfilled to the full config
+
+    # subset with a MISMATCHED value still refuses loudly
+    with open(meta_path, "w") as fh:
+        json.dump({"num_buckets": 16}, fh)
+    with _p.raises(ValueError, match="different config"):
+        StreamingCorpusCleaner(out, num_buckets=8)(docs.limit(5), 2)
+
+
 def test_streaming_auto_compaction_cadence(spark, tmp_path):
     """compact_every=N: after every Nth committed batch the index
     tables merge their batch dirs automatically — the long-stream
