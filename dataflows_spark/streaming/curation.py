@@ -994,14 +994,18 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                     # discipline). The batch side keeps its vectors
                     # inline — it is one micro-batch, broadcast-sized.
                     seen = self._index.read_pruned(spark, sig_buckets, batch_id)
-                    # lazy on purpose: the sig join reads only the
-                    # narrow (id, sig) index columns, so recomputing it
-                    # for the id-collect AND the cross join is cheaper
-                    # than materializing it (localCheckpoint measured
-                    # ~+0.9 s/batch at 5k-vector batches)
-                    cand = seen.select(F.col("id").alias("id_a"), "sig").join(
-                        enriched.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig"),
-                        on="sig",
+                    # the narrow (id, sig) sig join runs ONCE: candidate
+                    # PAIRS materialize via eager localCheckpoint —
+                    # O(candidates) rows of two ids, tiny by the bits
+                    # sizing rule — and are reused for the id-collect
+                    # AND the verify join (the lazy plan re-ran the
+                    # pruned index scan for each; `seen` itself stays
+                    # lazy, only its narrow columns are ever read here)
+                    cand = (
+                        seen.select(F.col("id").alias("id_a"), "sig")
+                        .join(enriched.select(F.col("id").alias("id_b"), "sig"), on="sig")
+                        .select("id_a", "id_b")
+                        .localCheckpoint(eager=True)
                     )
                     # vectors re-attach for ONLY the candidate ids: sig
                     # collisions are rare (bits sized to the corpus), so
@@ -1018,7 +1022,12 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                     vecs = seen.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
                     if len(cand_ids) <= cap:
                         vecs = vecs.filter(F.col("id_a").isin(cand_ids))
-                    cross = cand.join(vecs, on="id_a")
+                    # batch-side vectors re-attach from the CACHED
+                    # enriched frame (one micro-batch, memory-resident)
+                    cross = cand.join(vecs, on="id_a").join(
+                        enriched.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+                        on="id_b",
+                    )
                     drops = drops.unionByName(verified_drops(cross))
             survivors = enriched.join(drops.distinct(), on="id", how="left_anti")
             target = os.path.join(self.data_dir, f"batch_id={batch_id}")

@@ -899,6 +899,34 @@ def test_index_meta_subset_backfill(spark, tmp_path):
         StreamingCorpusCleaner(out, num_buckets=8)(docs.limit(5), 2)
 
 
+def test_post_compaction_reads_stay_partition_pruned(spark, tmp_path):
+    """Compaction rewrites batch_id dirs into one merged dir — the
+    rewritten layout must still prune: PartitionFilters on BOTH
+    partition columns in the scan of the merged dir, and the pruned
+    row set identical to a raw filter (semantics are control-tested
+    elsewhere; this pins the PLAN so a pruning regression can't hide
+    behind a green dedup result)."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner, compact_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "pc_out")
+    c = StreamingCorpusCleaner(out, num_buckets=8)
+    for i, lo in enumerate((0, 150, 300)):
+        c(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 150)), i)
+    compact_index(spark, out)
+
+    for idx, col in ((c._fps, "fpb"), (c._bands, "bb"), (c._docs, "db")):
+        pruned = idx.read_pruned(spark, [1, 4], exclude_batch=3)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        part = plan.split("PartitionFilters")[1].split("]")[0]
+        assert col in part and "batch_id" in part, (col, part)
+        raw = spark.read.parquet(idx.path)
+        want = raw.filter((F.col("batch_id") != 3) & F.col(col).isin([1, 4])).count()
+        assert pruned.count() == want and want > 0
+
+
 def test_streaming_auto_compaction_cadence(spark, tmp_path):
     """compact_every=N: after every Nth committed batch the index
     tables merge their batch dirs automatically — the long-stream
