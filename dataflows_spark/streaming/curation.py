@@ -241,6 +241,18 @@ class _BucketedIndex:
 
         _atomic_write(meta_path, expect)
 
+    def _write_width(self, spark: SparkSession) -> int:
+        """Shuffle width for bucket-partitioned writes. Hash-partitioning
+        on the bucket column sends each bucket value to exactly ONE task
+        regardless of the width, so the output stays ≤ one file per
+        touched bucket either way; capping the width at a few× the
+        cluster's parallelism avoids scheduling ``num_buckets`` mostly
+        empty tasks per micro-batch once the index is provisioned with
+        buckets ≫ cores (the corpus-sizing rule at large corpora —
+        e.g. 12k buckets for a 24k-doc index would otherwise mean 12k
+        near-empty tasks per write of a 500-doc batch)."""
+        return min(self.num_buckets, spark.sparkContext.defaultParallelism * 4)
+
     def compact(self, spark: SparkSession, committed: set[int] | None = None) -> int:
         """Offline compaction: merge every COMMITTED ``batch_id=N`` dir
         into ONE dir keyed by the highest committed batch id — file
@@ -312,8 +324,9 @@ class _BucketedIndex:
             spark.read.option("basePath", self.path)
             .parquet(*(os.path.join(self.path, e) for e in batch_dirs))
             .drop("batch_id")
-            # one task per bucket → exactly ≤ num_buckets output files
-            .repartition(self.num_buckets, F.col(self.bucket_col))
+            # each bucket lands in exactly one task → ≤ num_buckets
+            # output files; width capped (see _write_width)
+            .repartition(self._write_width(spark), F.col(self.bucket_col))
             .write.mode("overwrite")
             .partitionBy(self.bucket_col)
             .parquet(tmp)
@@ -365,9 +378,13 @@ class _BucketedIndex:
             spark.read.parquet(self.path)
             .drop(self.bucket_col)
             .withColumn(self.bucket_col, _bucket(F.col(self.key_name), new_num_buckets))
-            # one task per new bucket → ≤ new_num_buckets files per
-            # batch dir, the same write discipline as write()
-            .repartition(new_num_buckets, F.col(self.bucket_col))
+            # each new bucket lands in exactly one task → ≤
+            # new_num_buckets files per batch dir, the same write
+            # discipline as write() (width capped — see _write_width)
+            .repartition(
+                min(new_num_buckets, spark.sparkContext.defaultParallelism * 4),
+                F.col(self.bucket_col),
+            )
             .write.mode("overwrite")
             .partitionBy("batch_id", self.bucket_col)
             .parquet(tmp)
@@ -385,9 +402,11 @@ class _BucketedIndex:
         self._check_meta()
         (
             df.withColumn(self.bucket_col, _bucket(key, self.num_buckets))
-            # one task per bucket → ≤ num_buckets files per batch, not
-            # shuffle_partitions × num_buckets
-            .repartition(self.num_buckets, F.col(self.bucket_col))
+            # each bucket lands in exactly one task → ≤ num_buckets files
+            # per batch, not shuffle_partitions × num_buckets; width
+            # capped so buckets ≫ cores doesn't schedule thousands of
+            # empty tasks per micro-batch (see _write_width)
+            .repartition(self._write_width(df.sparkSession), F.col(self.bucket_col))
             .write.mode("overwrite")
             .partitionBy(self.bucket_col)
             .parquet(os.path.join(self.path, f"batch_id={batch_id}"))

@@ -520,6 +520,47 @@ def test_streaming_index_write_file_counts_bounded(spark, tmp_path):
         assert 0 < len(files) <= 8, (idx.path, len(files))
 
 
+def test_streaming_index_write_width_capped_at_many_buckets(spark, tmp_path):
+    """At the sizing rule's large-corpus operating point (num_buckets ≫
+    cores — e.g. 4096 buckets for a 24k-doc index) the bucket write must
+    NOT schedule num_buckets near-empty shuffle tasks per micro-batch:
+    the shuffle width is capped at a few× the parallelism while hash
+    partitioning still sends every bucket value to exactly one task —
+    so the layout invariant (one file per touched bucket per batch)
+    survives the cap, and cross-batch dedup is unchanged."""
+    import glob
+
+    import __spark_entry__ as entry
+    from dataflows_spark.streaming import StreamingCorpusCleaner, curation_filter
+
+    docs = entry._docs_with_dups(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    out = str(tmp_path / "wc_out")
+    cleaner = StreamingCorpusCleaner(out, num_buckets=4096)
+    cap = spark.sparkContext.defaultParallelism * 4
+    assert cleaner._fps._write_width(spark) == min(4096, cap) < 4096
+    b0 = curation_filter(docs.filter(F.col("doc_id") < 300))
+    cleaner(b0, 0)
+    n_docs0 = b0.select("doc_id").distinct().count()
+    for idx in (cleaner._fps, cleaner._bands, cleaner._docs):
+        bucket_dirs = glob.glob(os.path.join(idx.path, "batch_id=0", f"{idx.bucket_col}=*"))
+        files = glob.glob(os.path.join(idx.path, "batch_id=0", "*", "*.parquet"))
+        # ≤ one file per touched bucket (≤ keys ≤ 2×docs for bands), and
+        # exactly one parquet file inside every bucket dir
+        assert 0 < len(files) <= 2 * n_docs0, (idx.path, len(files))
+        per_bucket = {}
+        for f in files:
+            per_bucket.setdefault(os.path.dirname(f), []).append(f)
+        assert all(len(v) == 1 for v in per_bucket.values()), idx.path
+        assert len(per_bucket) == len(bucket_dirs), idx.path
+    # batch 0 may shed intra-batch near-dups (planted pairs under id 300);
+    # what the cap must NOT change is cross-batch dedup: an exact re-send
+    # in batch 1 adds zero docs over batch 0's survivors
+    survivors0 = cleaner.read(spark).count()
+    assert 0 < survivors0 <= n_docs0
+    cleaner(b0.limit(50), 1)
+    assert cleaner.read(spark).count() == survivors0
+
+
 def test_streaming_cleaner_custom_text_col_arrow(spark, tmp_path):
     """Review fix: the arrow (default) signature path must reference the
     caller's text_col, not the literal column name 'text' — a non-default
