@@ -133,6 +133,16 @@ def build_session(
         # candidate-id lookups depend on this to keep per-batch
         # doc-text IO O(candidates) instead of O(corpus)
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+        # FileOutputCommitter v2: task-commit renames run inside the
+        # (parallel) tasks instead of one sequential driver-side job
+        # commit — dynamic-partition writes that touch hundreds of
+        # bucket dirs per micro-batch (the curation index at
+        # buckets ≫ cores) commit in O(dirs/cores) renames per task.
+        # v2's weaker crash atomicity (files visible before job
+        # commit) is already the handled case here: every index/sink
+        # write lands under a batch_id dir gated by the sink's OWN
+        # commit marker, and a replay overwrites the whole dir.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
