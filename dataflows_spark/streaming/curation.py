@@ -790,6 +790,18 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
         # one enrichment pass; reused by the exact tier, both LSH joins
         # and the final emit — cache instead of recomputing 4×
         enriched = self._enrich(df).cache()
+        # materialize-once frames use cache(), NOT localCheckpoint():
+        # a localCheckpoint persists its internal RDD OUTSIDE the
+        # CacheManager, so Dataset.unpersist() cannot release it and
+        # the blocks linger until JVM GC + ContextCleaner get around
+        # to it — on an unbounded stream they accumulate per batch,
+        # squeeze execution memory and throttle the whole session
+        # (measured: 8 s/batch in a fresh session vs 60 s/batch 13
+        # batches into the stream, CPU idle, all iowait/spill). The
+        # per-batch plans are shallow, so lineage truncation — the one
+        # thing localCheckpoint adds — buys nothing here. Every cached
+        # frame is unpersisted at batch end.
+        ephemeral: list[DataFrame] = []
         try:
             # exact tier: first-seen per fingerprint within the batch...
             from pyspark.sql import Window
@@ -851,8 +863,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .cache()
             )
+            ephemeral.append(within)
             cross = None
             if have_index:
                 # cross-index pairs: the batch side (id_b) drops
@@ -874,8 +887,9 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                         .distinct()
                         # consumed by the doc-bucket collect, the index
                         # gram lut and the verify — materialize once
-                        .localCheckpoint(eager=True)
+                        .cache()
                     )
+                    ephemeral.append(cross)
             # candidate-only gram luts: batch side covers every id a
             # candidate pair touches in THIS batch; index side reads the
             # (doc_id, text) index pruned to the cross id_a buckets
@@ -890,7 +904,8 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
             # side of the cross-verify — materialize so the candidate
             # gram hashing + semi-join run once, not 2-3× (the same
             # reason jaccard_pairs checkpoints its enrichment)
-            batch_lut = self._gram_lut(batch_docs, batch_cand_ids).localCheckpoint(eager=True)
+            batch_lut = self._gram_lut(batch_docs, batch_cand_ids).cache()
+            ephemeral.append(batch_lut)
             drops = verify(within, batch_lut, batch_lut).select("id_b")
             if cross is not None:
                 doc_buckets = _touched_buckets(cross, F.col("id_a"), self.num_buckets)
@@ -933,6 +948,8 @@ class StreamingCorpusCleaner(ExactlyOnceParquetSink):
                     idx.compact(spark, done)
             batch_docs.unpersist()
         finally:
+            for cp in ephemeral:
+                cp.unpersist()
             enriched.unpersist()
 
     def read(self, spark: SparkSession, latest_only: bool = True) -> DataFrame:
@@ -1019,6 +1036,10 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             F.col(self.vec_col).cast("array<double>").alias("v"),
         ).withColumn("sig", lsh_signature("v", self.dim, self.bits, self.seed))
         enriched = enriched.cache()
+        # per-batch materialize-once blocks must not outlive the batch
+        # on an unbounded stream (see StreamingCorpusCleaner.write_batch
+        # for why cache()+unpersist, not localCheckpoint)
+        ephemeral: list[DataFrame] = []
         try:
             def verified_drops(cand: DataFrame) -> DataFrame:
                 return (
@@ -1057,7 +1078,7 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                     # inline — it is one micro-batch, broadcast-sized.
                     seen = self._index.read_pruned(spark, sig_buckets, batch_id)
                     # the narrow (id, sig) sig join runs ONCE: candidate
-                    # PAIRS materialize via eager localCheckpoint —
+                    # PAIRS materialize once via cache() —
                     # O(candidates) rows of two ids, tiny by the bits
                     # sizing rule — and are reused for the id-collect
                     # AND the verify join (the lazy plan re-ran the
@@ -1067,8 +1088,9 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
                         seen.select(F.col("id").alias("id_a"), "sig")
                         .join(enriched.select(F.col("id").alias("id_b"), "sig"), on="sig")
                         .select("id_a", "id_b")
-                        .localCheckpoint(eager=True)
+                        .cache()
                     )
+                    ephemeral.append(cand)
                     # vectors re-attach for ONLY the candidate ids: sig
                     # collisions are rare (bits sized to the corpus), so
                     # the id list is tiny — pushed as an In scan filter,
@@ -1106,6 +1128,8 @@ class StreamingEmbeddingDeduper(ExactlyOnceParquetSink):
             if self.compact_every and (batch_id + 1) % self.compact_every == 0:
                 self._index.compact(spark, set(self.committed_batches()))
         finally:
+            for cp in ephemeral:
+                cp.unpersist()
             enriched.unpersist()
 
     def read(self, spark: SparkSession, latest_only: bool = True) -> DataFrame:

@@ -997,3 +997,33 @@ def test_streaming_auto_compaction_cadence(spark, tmp_path):
         assert len(dirs) <= 2, dirs
     got = {r["doc_id"] for r in c.read(spark).select("doc_id").collect()}
     assert got == {r["doc_id"] for r in ctrl.read(spark).select("doc_id").collect()}
+
+
+def test_no_storage_blocks_leak_across_batches(spark, tmp_path):
+    """An unbounded stream must not accumulate executor storage: every
+    per-batch materialize-once frame (cache, formerly localCheckpoint
+    — whose blocks Dataset.unpersist() could NOT release) is freed at
+    batch end. Measured leak before the fix: 8 s/batch fresh vs
+    60 s/batch 13 batches into a stream, all storage-pressure."""
+    from dataflows_spark.streaming import StreamingCorpusCleaner, StreamingEmbeddingDeduper
+
+    jsc = spark.sparkContext._jsc.sc()
+    # the shared session may carry persisted RDDs from earlier tests —
+    # the invariant is that BATCHES add none, not that the session
+    # starts clean
+    base = jsc.getPersistentRDDs().size()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    c = StreamingCorpusCleaner(str(tmp_path / "leak_out"), num_buckets=8)
+    for i, lo in enumerate((0, 150, 300)):
+        c(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 150)), i)
+        assert jsc.getPersistentRDDs().size() <= base, f"cached RDDs leaked after batch {i}"
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = StreamingEmbeddingDeduper(str(tmp_path / "leak_emb"), dim=64, bits=10)
+    for i, lo in enumerate((0, 150)):
+        d(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 150)), i)
+        assert jsc.getPersistentRDDs().size() <= base, f"cached RDDs leaked after emb batch {i}"
