@@ -238,9 +238,20 @@ def stream_chain_run(cores: int, state_partitions: int | None = None, trigger: i
     import shutil
     import tempfile
 
+    # state partitions = min(cores, 4): every state partition is a
+    # RocksDB instance committing per micro-batch, and the windowed agg
+    # holds only ~3.4k (window, codec) keys — parallelism for the
+    # decode hot path comes from SOURCE splits upstream of the
+    # shuffle. Sizing experiment (round 6, pinned, same input):
+    #   8 cores:  sp=8 share 0.495 / 19.9k clips/s → sp=4 0.124 / 22.4k
+    #   32 cores: sp=8 share 0.561 / 10.4k        → sp=4 0.055 / 23.6k
+    #   2 cores:  sp=2 share 0.090 (unchanged by the rule)
+    # share = state-commit ms / trigger ms per steady batch. A state
+    # with orders more keys would size UP with it; this is this
+    # chain's state, measured.
     spark = _session(
         cores,
-        shuffle_partitions=state_partitions if state_partitions is not None else min(cores, 8),
+        shuffle_partitions=state_partitions if state_partitions is not None else min(cores, 4),
     )
     from pyspark.sql import functions as F
 
