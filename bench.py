@@ -1089,7 +1089,18 @@ def main() -> None:
             json.dump(partial, fh, indent=1)
 
     def take_sample(c: int) -> None:
-        chain_samples[c].append(run_chain_subprocess(c, 1))
+        # timed_runs ≥ 2: one timed pass is NOT past warm-up for the
+        # wide levels — successive full passes in one fresh process
+        # measured 26.9 → 17.3 → 7.0 s at 32 cores (tiered JIT of the
+        # whole-stage-codegen'd pipeline + 32 Arrow workers warming
+        # across passes; the 3%-sample warm-up only primes a few).
+        # The rounds-4/5 "noise-bound 32-core legs" were exactly this
+        # warm-up tail: probes healthy, guest 70% idle, samples 5-10×
+        # under the steady state. Best-of-K after warm-up is the
+        # documented policy (the steady regime a long-running job
+        # operates in) — restored here per level: K=3 at 8/32, K=2 at
+        # the (slow, less warm-up-sensitive) 2-core level.
+        chain_samples[c].append(run_chain_subprocess(c, 3 if c >= 8 else 2))
         stream_samples[c].append(run_stream_subprocess(c))
         # concurrent-ceiling probe, pinned to the SAME core range,
         # immediately after the pair — each sample carries its own
